@@ -1,0 +1,54 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
+exercised without TPU hardware. Must be set before jax initialises.
+"""
+
+import os
+import pathlib
+import shutil
+import subprocess
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+REFERENCE_DIR = pathlib.Path("/root/reference")
+FIXTURE_DIR = REFERENCE_DIR / "test"
+
+
+@pytest.fixture(scope="session")
+def fixture_dir():
+    if not FIXTURE_DIR.is_dir():
+        pytest.skip("reference fixture corpus not available")
+    return FIXTURE_DIR
+
+
+@pytest.fixture(scope="session")
+def reference_cli(tmp_path_factory):
+    """Build the reference codec out-of-tree and return the binary path.
+
+    Used purely as a conformance oracle (never linked or vendored). Skips
+    when the reference sources or a C compiler are unavailable.
+    """
+    if not REFERENCE_DIR.is_dir() or shutil.which("gcc") is None:
+        pytest.skip("reference sources or gcc not available")
+    build = tmp_path_factory.mktemp("refbuild")
+    src = build / "src"
+    shutil.copytree(REFERENCE_DIR / "src", src)
+    shutil.copy(REFERENCE_DIR / "Makefile", build / "Makefile")
+    try:
+        subprocess.run(
+            ["make", "-s"], cwd=build, check=True, capture_output=True, timeout=120
+        )
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired) as e:
+        pytest.skip(f"reference build failed: {e}")
+    binary = build / "aad"
+    if not binary.exists():
+        pytest.skip("reference binary missing after build")
+    return binary

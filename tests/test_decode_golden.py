@@ -1,0 +1,50 @@
+"""Bit-exact decode conformance against the reference's golden fixtures.
+
+This is the canonical cross-implementation check: decode the checked-in
+.aad fixtures and compare sample-exact with the decoded WAVs the reference
+produced (the same bar as reference: test/test_aad_decoder.c:256-338).
+"""
+
+import numpy as np
+import pytest
+
+from aad_tpu import decode
+from aad_tpu.format.wav import read_wav
+
+
+@pytest.mark.parametrize(
+    "aad_name,wav_name",
+    [
+        ("sin300Hz_mono.aad", "sin300Hz_mono_decoded.wav"),
+        ("sin300Hz.aad", "sin300Hz_decoded.wav"),
+    ],
+)
+@pytest.mark.parametrize("engine", ["scan"])
+def test_golden_decode_bit_exact(fixture_dir, aad_name, wav_name, engine):
+    data = (fixture_dir / aad_name).read_bytes()
+    header, pcm = decode(data, engine=engine)
+
+    fmt, golden = read_wav(str(fixture_dir / wav_name))
+    assert fmt.num_channels == header.num_channels
+    assert fmt.num_samples == header.num_samples
+    # Reference CLI writes decoded samples << 16 into 16-bit WAV
+    # (reference: src/main.c:124); canonical WAV form is value << 16 again.
+    golden16 = golden >> 16
+    np.testing.assert_array_equal(pcm, golden16)
+
+
+def test_decode_block_range_matches_whole(fixture_dir):
+    from aad_tpu import FILE_HEADER_SIZE, Decoder, decode_header, HeaderInfo
+
+    data = (fixture_dir / "sin300Hz.aad").read_bytes()
+    header, whole = decode(data, engine="scan")
+    dec = Decoder.from_header(header, engine="scan")
+    payload = np.frombuffer(data, dtype=np.uint8)[FILE_HEADER_SIZE:]
+    nspb = header.num_samples_per_block
+    # random-access decode of blocks [3, 7)
+    part = np.asarray(dec.decode_block_range(payload, 3, 4))
+    np.testing.assert_array_equal(part, whole[:, 3 * nspb : 7 * nspb])
+    # a range including the ragged tail
+    nblocks = -(-header.num_samples // nspb)
+    tail = np.asarray(dec.decode_block_range(payload, nblocks - 2, 2))
+    np.testing.assert_array_equal(tail, whole[:, (nblocks - 2) * nspb :])
