@@ -1,0 +1,172 @@
+"""High-level encoder: PCM -> .aad bytes.
+
+Pipeline (reference behaviour: src/aad_encoder.c:814-891, re-architected):
+
+    pcm (C, N) --host--> zero-padded dense blocks (B, C, nspb)
+               --device--> LR->MS, sequential block scan w/ trial search
+               --host/device--> block headers + packed units -> payload bytes
+
+The device step is one jitted ``lax.scan`` over blocks; channels (and, via
+vmap at the batch API, independent streams) ride the lane axes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (
+    CH_PROCESS_INVALID,
+    CH_PROCESS_MS,
+    FILTER_ORDER,
+    MAX_BITS_PER_SAMPLE,
+    MAX_NUM_CHANNELS,
+    block_header_size,
+)
+from ..format.framing import BlockStates, assemble_stream, build_block_headers
+from ..format.geometry import (
+    BlockGeometry,
+    compute_block_geometry,
+    num_blocks_for,
+)
+from ..format.header import HeaderInfo, encode_header
+from ..ops.encode import encode_stream_blocks, lr_to_ms
+from .result import InvalidArgumentError, InvalidFormatError
+
+
+@dataclasses.dataclass(frozen=True)
+class EncodeConfig:
+    """Encoder parameters (reference: struct AADEncodeParameter,
+    src/aad_encoder.h:8-15) with the reference CLI defaults
+    (reference: src/main.c:39-47)."""
+
+    num_channels: int
+    sampling_rate: int
+    bits_per_sample: int = 4
+    max_block_size: int = 1024
+    ch_process_method: int = 0
+    num_encode_trials: int = 2
+
+    def validate(self) -> None:
+        """Parameter validation, mirroring ConvertParameterToHeader
+        (reference: src/aad_encoder.c:741-753).
+
+        Note the reference quirk kept intact: bits_per_sample == 1 passes
+        *parameter* validation and only fails later at header encode
+        (reference: src/aad_encoder.c:743-745 vs :165-167).
+        """
+        if self.bits_per_sample == 0 or self.bits_per_sample > MAX_BITS_PER_SAMPLE:
+            raise InvalidFormatError(f"bad bits_per_sample: {self.bits_per_sample}")
+        if self.max_block_size < block_header_size(self.num_channels):
+            raise InvalidFormatError("max_block_size cannot fit the block header")
+        if self.ch_process_method >= CH_PROCESS_INVALID:
+            raise InvalidFormatError(
+                f"bad ch_process_method: {self.ch_process_method}"
+            )
+        if self.num_channels == 0 or self.num_channels > MAX_NUM_CHANNELS:
+            raise InvalidFormatError(f"bad num_channels: {self.num_channels}")
+
+    def header_for(self, num_samples: int) -> HeaderInfo:
+        geo = self.geometry()
+        return HeaderInfo(
+            num_channels=self.num_channels,
+            num_samples=num_samples,
+            sampling_rate=self.sampling_rate,
+            bits_per_sample=self.bits_per_sample,
+            block_size=geo.block_size,
+            num_samples_per_block=geo.num_samples_per_block,
+            ch_process_method=self.ch_process_method,
+        )
+
+    def geometry(self) -> BlockGeometry:
+        return compute_block_geometry(
+            self.max_block_size, self.num_channels, self.bits_per_sample
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bits_per_sample", "num_trials", "ms")
+)
+def _encode_device(blocks, valid, *, bits_per_sample: int, num_trials: int, ms: bool):
+    """Device side: (B, C, nspb) padded PCM -> header fields + codes."""
+    if ms:
+        B, C, nspb = blocks.shape
+        flat = blocks.reshape(B, C, nspb)
+        # LR->MS is per-sample and maps padding zeros to zeros, so applying it
+        # to the whole padded signal equals the reference's per-block
+        # transform (reference: src/aad_encoder.c:596-603, 496-512).
+        flat = lr_to_ms(flat)
+        blocks = flat
+    return encode_stream_blocks(blocks, valid, bits_per_sample, num_trials)
+
+
+def _pad_to_blocks(pcm: np.ndarray, geo: BlockGeometry) -> tuple[np.ndarray, np.ndarray, int]:
+    """(C, N) -> ((B, C, nspb) zero-padded int32, valid (B,), B)."""
+    nch, n = pcm.shape
+    nspb = geo.num_samples_per_block
+    nblocks = num_blocks_for(n, nspb)
+    padded = np.zeros((nch, nblocks * nspb), dtype=np.int32)
+    padded[:, :n] = pcm
+    blocks = np.swapaxes(padded.reshape(nch, nblocks, nspb), 0, 1)
+    valid = np.minimum(
+        np.full(nblocks, nspb, dtype=np.int32),
+        n - np.arange(nblocks, dtype=np.int64) * nspb,
+    ).astype(np.int32)
+    return np.ascontiguousarray(blocks), valid, nblocks
+
+
+@dataclasses.dataclass
+class Encoder:
+    """Reusable encoder bound to one configuration."""
+
+    config: EncodeConfig
+    geometry: BlockGeometry
+
+    @classmethod
+    def from_config(cls, config: EncodeConfig) -> "Encoder":
+        config.validate()
+        return cls(config=config, geometry=config.geometry())
+
+    def encode(self, pcm: np.ndarray) -> bytes:
+        """Encode (C, N) int32 PCM (int16-valued) into a complete .aad stream."""
+        cfg = self.config
+        pcm = np.asarray(pcm, dtype=np.int32)
+        if pcm.ndim != 2 or pcm.shape[0] != cfg.num_channels:
+            raise InvalidArgumentError(
+                f"pcm must be ({cfg.num_channels}, N); got {pcm.shape}"
+            )
+        num_samples = pcm.shape[1]
+        # header_for -> encode_header re-validates, applying the reference's
+        # stricter header-time checks (num_samples > 0, bps >= 2).
+        header = self.config.header_for(num_samples)
+        file_header = encode_header(header)
+
+        blocks, valid, _ = _pad_to_blocks(pcm, self.geometry)
+        hdr_fields, codes = _encode_device(
+            jnp.asarray(blocks),
+            jnp.asarray(valid),
+            bits_per_sample=cfg.bits_per_sample,
+            num_trials=cfg.num_encode_trials,
+            ms=cfg.ch_process_method == CH_PROCESS_MS,
+        )
+
+        states = BlockStates(
+            step_index=np.asarray(hdr_fields.step_index),
+            weight=np.asarray(hdr_fields.weight),
+            history=np.asarray(hdr_fields.history),
+        )
+        shifts = np.asarray(hdr_fields.shift)
+        header_bytes = build_block_headers(states, shifts, self.geometry)
+        payload = assemble_stream(
+            header_bytes, np.asarray(codes), self.geometry, num_samples
+        )
+        return file_header + payload.tobytes()
+
+
+def encode(pcm: np.ndarray, config: EncodeConfig) -> bytes:
+    """One-shot encode; see :class:`Encoder`."""
+    return Encoder.from_config(config).encode(pcm)

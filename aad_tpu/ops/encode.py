@@ -1,0 +1,240 @@
+"""Block encode engine: sequential block chain with trial search.
+
+Encode cannot block-parallelise bit-exactly — processor state chains across
+blocks and the trial search re-reads the previous block (reference:
+src/aad_encoder.c:870, 502-512). The TPU design therefore:
+
+* scans over blocks sequentially (``lax.scan`` carrying the per-channel
+  :class:`CodecState`),
+* vectorises everything *inside* a block over channels (and, at the API
+  layer, over independent streams via ``vmap`` — see parallel/),
+* selects trial-search winners by exact integer comparison of summed squared
+  quantisation errors, which provably reproduces the reference's double-
+  precision RMSE comparison (see note below).
+
+RMSE-comparison exactness: the reference compares
+``sqrt(sse_a / n) > sqrt(sse_b / n)`` in IEEE double (reference:
+src/aad_encoder.c:465,552). Both sums are integers < 2**44 (exact in double),
+divided by the same n; relative spacing of distinct sums is >= ~8.7e-14, far
+above double epsilon, and sqrt is monotone & correctly rounded — so the
+double comparison decides exactly like ``sse_a > sse_b`` on integers. We
+accumulate sse as two uint32 limbs to stay in native 32-bit lanes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import FILTER_ORDER, INT16_MAX
+from . import cseman as cs
+from .transitions import CodecState, encode_sample
+
+Array = jax.Array
+
+
+class BlockHeaderFields(NamedTuple):
+    """Per-block header payload produced by the encoder."""
+
+    step_index: Array  # (..., C) int32
+    shift: Array       # (..., C) int32 weight shift in [0, 15]
+    weight: Array      # (..., C, 4) int32, already rounded (low bits cleared)
+    history: Array     # (..., C, 4) int32
+
+
+def _select_state(pred: Array, a: CodecState, b: CodecState) -> CodecState:
+    """Elementwise state select; ``pred`` broadcasts over lane axes."""
+    p1 = pred[..., None]
+    return CodecState(
+        history=jnp.where(p1, a.history, b.history),
+        weight=jnp.where(p1, a.weight, b.weight),
+        step_index=jnp.where(pred, a.step_index, b.step_index),
+    )
+
+
+def _seed_from_block(state: CodecState, block: Array) -> CodecState:
+    """Load a block's first four samples into history (newest last-in).
+
+    ``block`` is (..., C, nspb) already zero-padded, which reproduces the
+    reference's memset + bounded copy for short blocks
+    (reference: src/aad_encoder.c:588-616, 450-453).
+    """
+    head = block[..., :FILTER_ORDER].astype(jnp.int32)
+    return state._replace(history=head[..., ::-1])
+
+
+def measure_block(
+    state: CodecState, block: Array, valid: Array, bits_per_sample: int
+) -> tuple[CodecState, tuple[Array, Array]]:
+    """Trial-encode a block and accumulate squared quantisation error.
+
+    Mirrors ``AADEncodeProcessor_CalculateRMSError`` (reference:
+    src/aad_encoder.c:431-467): seeds history from the first four samples,
+    encodes samples [4, valid), accumulates qdiff**2. Blocks with fewer than
+    FILTER_ORDER valid samples leave the state untouched and report zero
+    error (the reference's early return).
+
+    Args:
+      state: (C,) lanes of codec state.
+      block: (C, nspb) int32 zero-padded samples.
+      valid: scalar int32 — valid samples in this block.
+    Returns:
+      (state', (sse_hi, sse_lo)) with sse limbs shaped (C,).
+    """
+    nch = block.shape[-2]
+    T = block.shape[-1] - FILTER_ORDER
+    seeded = _seed_from_block(state, block)
+
+    samples_t = jnp.moveaxis(block[..., FILTER_ORDER:], -1, 0)  # (T, C)
+    steps = jnp.arange(T, dtype=jnp.int32)
+
+    def step(carry, xs):
+        st, sse = carry
+        sample, t = xs
+        new_st, _code, qdiff = encode_sample(st, sample, bits_per_sample)
+        active = t < (valid - FILTER_ORDER)
+        st2 = _select_state(jnp.broadcast_to(active, st.step_index.shape), new_st, st)
+        contrib = jnp.where(active, cs.square_u32(qdiff), jnp.uint32(0))
+        return (st2, cs.u64_add_u32(sse, contrib)), None
+
+    init = (seeded, cs.u64_zero((nch,)))
+    (final_state, sse), _ = lax.scan(step, init, (samples_t, steps))
+
+    skip = valid < FILTER_ORDER
+    out_state = _select_state(jnp.broadcast_to(skip, state.step_index.shape), state, final_state)
+    out_sse = cs.u64_select(skip, cs.u64_zero((nch,)), sse)
+    return out_state, out_sse
+
+
+def search_best_state(
+    state: CodecState,
+    cur_block: Array,
+    prev_block: Array,
+    has_prev: Array,
+    valid: Array,
+    bits_per_sample: int,
+    num_trials: int,
+) -> CodecState:
+    """Trial search for the lowest-RMSE starting state, per channel.
+
+    Re-encoding consecutive blocks warms the adaptive filter; the candidate
+    with minimum RMSE on the current block wins, independently per channel
+    (reference: src/aad_encoder.c:470-562).
+    """
+    # Baseline: the incoming state measured as-is (state change discarded).
+    _, min_sse = measure_block(state, cur_block, valid, bits_per_sample)
+    best = state
+    tmp = state
+
+    for _ in range(num_trials):
+        # Warm up on the previous block when one exists (full-length).
+        nspb_full = jnp.asarray(cur_block.shape[-1], dtype=jnp.int32)
+        warmed, _ = measure_block(tmp, prev_block, nspb_full, bits_per_sample)
+        tmp = _select_state(jnp.broadcast_to(has_prev, tmp.step_index.shape), warmed, tmp)
+        candidate = tmp
+        tmp, sse = measure_block(tmp, cur_block, valid, bits_per_sample)
+        better = cs.u64_less(sse, min_sse)
+        best = _select_state(better, candidate, best)
+        min_sse = cs.u64_select(better, sse, min_sse)
+
+    return best
+
+
+def round_weights(state: CodecState) -> tuple[CodecState, Array]:
+    """Round weights so they serialise into 16 bits; returns (state', shift).
+
+    Finds the smallest right shift putting max|weight| into int16 range,
+    clears the shifted-out bits in place (keeping encoder and decoder in
+    lockstep), per channel (reference: src/aad_encoder.c:620-646).
+    """
+    w = state.weight
+    absw = jnp.where(w >= 0, w, -w)  # INT32_MIN wraps, matching C's ABS macro
+    maxabs = jnp.max(absw, axis=-1)
+    bitlen = 32 - lax.clz(maxabs)
+    shift = jnp.maximum(bitlen - 15, 0).astype(jnp.int32)
+    mask = jnp.bitwise_not(cs.shl(jnp.int32(1), shift) - 1)
+    rounded = jnp.bitwise_and(w, mask[..., None])
+    return state._replace(weight=rounded), shift
+
+
+def encode_block_codes(
+    state: CodecState, block: Array, bits_per_sample: int
+) -> tuple[CodecState, Array]:
+    """Encode one (zero-padded) block's data section.
+
+    The reference packs whole interleave units and reads zero-padding past
+    the valid count (reference: src/aad_encoder.c:588-594, 661-722); encoding
+    the full padded block reproduces every byte that lands on the wire (the
+    stream assembler drops the units past the final one).
+
+    Args:
+      state: (C,) lanes (history already seeded, weights rounded).
+      block: (C, nspb) int32.
+    Returns:
+      (state', codes (C, T) int32).
+    """
+    samples_t = jnp.moveaxis(block[..., FILTER_ORDER:], -1, 0)  # (T, C)
+
+    def step(st, sample):
+        new_st, code, _ = encode_sample(st, sample, bits_per_sample)
+        return new_st, code
+
+    final_state, codes_t = lax.scan(step, state, samples_t)
+    return final_state, jnp.moveaxis(codes_t, 0, -1)
+
+
+def encode_stream_blocks(
+    blocks: Array,
+    valid: Array,
+    bits_per_sample: int,
+    num_trials: int,
+) -> tuple[BlockHeaderFields, Array]:
+    """Encode a whole stream of blocks sequentially.
+
+    Args:
+      blocks: (B, C, nspb) int32 zero-padded input (MS already applied).
+      valid:  (B,) int32 valid sample counts.
+    Returns:
+      (header fields (B, ...), codes (B, C, T) int32).
+    """
+    B, C, nspb = blocks.shape
+    prev_blocks = jnp.concatenate([jnp.zeros_like(blocks[:1]), blocks[:-1]], axis=0)
+    has_prev = jnp.arange(B) >= 1
+
+    def block_step(state: CodecState, xs):
+        cur, prev, hp, v = xs
+        if num_trials > 0:
+            state = search_best_state(
+                state, cur, prev, hp, v, bits_per_sample, num_trials
+            )
+        state = _seed_from_block(state, cur)
+        state, shift = round_weights(state)
+        hdr = BlockHeaderFields(
+            step_index=state.step_index,
+            shift=shift,
+            weight=state.weight,
+            history=state.history,
+        )
+        state, codes = encode_block_codes(state, cur, bits_per_sample)
+        return state, (hdr, codes)
+
+    init = CodecState.zeros((C,))
+    _, (headers, codes) = lax.scan(
+        block_step, init, (blocks, prev_blocks, has_prev, valid)
+    )
+    return headers, codes
+
+
+def lr_to_ms(pcm: Array) -> Array:
+    """LR -> mid/side with the halving shift and int16 clips.
+
+    (reference: src/aad_encoder.c:413-428). pcm: (..., 2, N) int32.
+    """
+    left = pcm[..., 0, :]
+    right = pcm[..., 1, :]
+    mid = cs.clip16(cs.asr(left + right, 1))
+    side = cs.clip16(cs.asr(left - right, 1))
+    return jnp.stack([mid, side], axis=-2)
