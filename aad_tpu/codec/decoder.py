@@ -58,6 +58,57 @@ def _decode_device(
     return pcm[:, :num_samples]
 
 
+def _device_pipeline(
+    payload,
+    *,
+    geo: BlockGeometry,
+    num_blocks: int,
+    bits_per_sample: int,
+    ms: bool,
+    num_samples: int,
+    engine: str,
+):
+    """Whole decode on device: padded payload bytes -> (C, num_samples) PCM.
+
+    Every stage — block split, header parse, bit unpack, phase A/B decode,
+    MS->LR, concatenation — is tensor ops under one jit, so entire files
+    decode without per-sample host round-trips (north star: BASELINE.json).
+    ``payload`` must be zero-padded to ``num_blocks * geo.block_size`` bytes.
+    """
+    from ..format.framing import parse_block_headers
+    from ..ops.bitpack import unpack_codes
+
+    blocks = payload.reshape(num_blocks, geo.block_size)
+    states = parse_block_headers(blocks, geo)
+    data = blocks[:, geo.header_bytes : geo.header_bytes + geo.data_bytes]
+    codes = unpack_codes(data, geo)
+    samples = decode_blocks(
+        codes,
+        states.step_index,
+        states.weight,
+        states.history,
+        bits_per_sample=bits_per_sample,
+        engine=engine,
+    )
+    if ms:
+        samples = ms_to_lr(samples)
+    pcm = jnp.swapaxes(samples, 0, 1).reshape(samples.shape[1], -1)
+    return pcm[:, :num_samples]
+
+
+_device_pipeline_jit = jax.jit(
+    _device_pipeline,
+    static_argnames=(
+        "geo",
+        "num_blocks",
+        "bits_per_sample",
+        "ms",
+        "num_samples",
+        "engine",
+    ),
+)
+
+
 @dataclasses.dataclass
 class Decoder:
     """Reusable decoder bound to one stream configuration.
@@ -73,11 +124,13 @@ class Decoder:
 
     @classmethod
     def from_header(cls, header: HeaderInfo, engine: str = "auto") -> "Decoder":
+        from ..ops.decode import resolve_engine
+
         validate_header(header)
         geo = geometry_from_header(
             header.num_channels, header.bits_per_sample, header.block_size
         )
-        return cls(header=header, geometry=geo, engine=engine)
+        return cls(header=header, geometry=geo, engine=resolve_engine(engine))
 
     def frame(self, payload: np.ndarray) -> FramedStream:
         """Host-side framing of the post-header payload bytes."""
@@ -99,6 +152,32 @@ class Decoder:
 
     def decode_payload(self, payload: np.ndarray) -> jax.Array:
         return self.decode_framed(self.frame(payload))
+
+    def decode_payload_ondevice(self, payload) -> jax.Array:
+        """Fully fused on-device decode (bitstream parsing included).
+
+        ``payload`` is the post-header byte stream; it is zero-padded to a
+        whole number of blocks host-side (cheap) and everything else runs in
+        one jitted device computation.
+        """
+        from ..format.geometry import num_blocks_for
+
+        h = self.header
+        nblocks = num_blocks_for(h.num_samples, h.num_samples_per_block)
+        total = nblocks * self.geometry.block_size
+        buf = np.zeros(total, dtype=np.uint8)
+        src = np.asarray(payload, dtype=np.uint8)
+        n = min(src.shape[0], total)
+        buf[:n] = src[:n]
+        return _device_pipeline_jit(
+            jnp.asarray(buf),
+            geo=self.geometry,
+            num_blocks=nblocks,
+            bits_per_sample=h.bits_per_sample,
+            ms=h.ch_process_method == CH_PROCESS_MS,
+            num_samples=h.num_samples,
+            engine=self.engine,
+        )
 
     def decode_block_range(
         self, payload: np.ndarray, start_block: int, num_blocks: int

@@ -80,7 +80,6 @@ def lms_scan(qdiffs: Array, history0: Array, weight0: Array) -> Array:
     return jnp.moveaxis(samples_t, 0, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("bits_per_sample", "engine"))
 def decode_blocks(
     codes: Array,
     step_index: Array,
@@ -90,6 +89,28 @@ def decode_blocks(
     bits_per_sample: int,
     engine: str = "auto",
 ) -> Array:
+    """See :func:`_decode_blocks_impl`; resolves/warms the engine first."""
+    engine = resolve_engine(engine)
+    return _decode_blocks_impl(
+        codes,
+        step_index,
+        weight,
+        history,
+        bits_per_sample=bits_per_sample,
+        engine=engine,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bits_per_sample", "engine"))
+def _decode_blocks_impl(
+    codes: Array,
+    step_index: Array,
+    weight: Array,
+    history: Array,
+    *,
+    bits_per_sample: int,
+    engine: str,
+) -> Array:
     """Decode a dense batch of independent block tasks.
 
     Args:
@@ -97,38 +118,54 @@ def decode_blocks(
       step_index: (...) int32 initial Q4 step index per lane.
       weight:     (..., 4) int32 initial weights per lane.
       history:    (..., 4) int32 initial history per lane (newest first).
-      engine: "scan", "pallas", or "auto".
+      engine: "fused" (single Pallas kernel), "pallas" (XLA phase A +
+        Pallas LMS), or "scan" (pure XLA; the portable reference engine).
     Returns:
       (..., T + FILTER_ORDER) int32 samples: the four header samples
       (history reversed, reference: src/aad_decoder.c:386-391) followed by the
       T decoded samples.
     """
-    qdiffs = compute_qdiffs(codes, step_index, bits_per_sample)
-    if engine == "pallas":
+    if engine == "fused":
+        from .pallas_decode import decode_fused
+
+        body = decode_fused(
+            codes, step_index, history, weight, bits_per_sample=bits_per_sample
+        )
+    elif engine == "pallas":
         from .pallas_lms import lms_pallas
 
+        qdiffs = compute_qdiffs(codes, step_index, bits_per_sample)
         body = lms_pallas(qdiffs, history, weight)
     elif engine == "scan":
+        qdiffs = compute_qdiffs(codes, step_index, bits_per_sample)
         body = lms_scan(qdiffs, history, weight)
     else:
-        body = _auto_lms(qdiffs, history, weight)
+        raise ValueError(f"unknown decode engine: {engine}")
     head = history[..., ::-1]
     return jnp.concatenate([head, body], axis=-1)
 
 
-def _auto_lms(qdiffs: Array, history: Array, weight: Array) -> Array:
-    """Pick the Pallas kernel on TPU, lax.scan elsewhere."""
+def _on_tpu() -> bool:
     try:
-        on_tpu = jax.devices()[0].platform == "tpu"
+        return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover
-        on_tpu = False
-    if on_tpu:
-        try:
-            from .pallas_lms import lms_pallas
-        except ImportError:  # kernel not available in this build
-            return lms_scan(qdiffs, history, weight)
-        return lms_pallas(qdiffs, history, weight)
-    return lms_scan(qdiffs, history, weight)
+        return False
+
+
+def resolve_engine(engine: str = "auto") -> str:
+    """Resolve "auto" to a concrete engine and warm it up.
+
+    Must be called eagerly (outside jit) before jitted pipelines use the
+    fused engine — the fused kernel's correction-set probe is a real device
+    execution (see ops.pallas_decode.stepsize_corrections).
+    """
+    if engine == "auto":
+        engine = "fused" if _on_tpu() else "scan"
+    if engine == "fused":
+        from .pallas_decode import warm_fused_engine
+
+        warm_fused_engine()
+    return engine
 
 
 def ms_to_lr(samples: Array) -> Array:

@@ -1,0 +1,294 @@
+"""Fully-fused Pallas TPU decode kernel: codes -> samples in one pass.
+
+Fuses the entire per-sample decode recurrence (reference:
+src/aad_decoder.c:269-318) — step-index adaptation, step-size lookup,
+quantised-difference reconstruction and the LMS filter — into a single
+sequential kernel, with independent block x channel tasks tiled (8, 128)
+onto the VPU.
+
+The two table lookups that block naive vectorisation are eliminated:
+
+* the <=16-entry index-delta table becomes a short select chain on the code
+  bits (tables: src/aad_tables.c:8-45);
+* the 256-entry step-size table is replaced by its *defining formula*
+  ``round(x**1.1 + 2**(c*x))`` (reference: src/aad_tables.c:57) evaluated in
+  f32 on the VPU plus a tiny compile-time correction set. Exactness is not
+  assumed: the formula has only 256 possible inputs, so at initialisation we
+  evaluate all of them through a probe kernel using the identical op
+  sequence, diff against the integer table, and bake per-slot corrections
+  into the kernel closure. A compiler change that shifts transcendental
+  rounding is caught by the probe and simply yields a different (still
+  exhaustively verified) correction set.
+
+Arithmetic note: f32 holds integers up to 2**24 exactly, so the +corrections
+and the final int conversion are exact; all other codec arithmetic stays
+int32 with C wraparound semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import (
+    FIXEDPOINT_0_5,
+    FIXEDPOINT_DIGITS,
+    INT16_MAX,
+    INT16_MIN,
+    LMSFILTER_SHIFT,
+    STEP_INDEX_MAX,
+    TABLES_FLOAT_0_5,
+    TABLES_FLOAT_DIGITS,
+)
+from ..tables import INDEX_TABLES, STEPSIZE_TABLE
+
+SUBLANES = 8
+LANES = 128
+TILE = SUBLANES * LANES
+T_CHUNK = 256
+
+_FORMULA_C = np.float32(np.log2(32767 - 255**1.1) / 255)
+
+
+def _stepsize_f32(slot: jax.Array) -> jax.Array:
+    """Step-size formula on int32 slots; must stay op-identical to the probe.
+
+    Only Python-scalar constants (weak types) — the probe traces this both
+    inside and outside ambient jit contexts and must not capture arrays.
+    """
+    xf = slot.astype(jnp.float32)
+    safe = jnp.maximum(xf, 1.0)
+    p = jnp.exp2(1.1 * jnp.log2(safe))
+    p = jnp.where(slot == 0, 0.0, p)
+    e = jnp.exp2(float(_FORMULA_C) * xf)
+    return jnp.round(p + e)
+
+
+@functools.cache
+def stepsize_corrections() -> tuple[tuple[int, int], ...]:
+    """Probe the on-device formula over all 256 slots; return (slot, delta)s.
+
+    Exhaustive over the full input domain, so the corrected formula is
+    *proven* equal to the table for the current compiler/hardware.
+    """
+
+    def probe_kernel(slot_ref, out_ref):
+        out_ref[:] = _stepsize_f32(slot_ref[:]).astype(jnp.int32)
+
+    slots = np.minimum(np.arange(TILE, dtype=np.int32), 255).reshape(
+        SUBLANES, LANES
+    )
+    # NOTE: must first be invoked *outside* any jit trace (the probe is a real
+    # device execution). The codec layer guarantees this by calling
+    # warm_fused_engine() eagerly before building jitted pipelines; the
+    # result is memoised for any subsequent in-trace use.
+    out = pl.pallas_call(
+        probe_kernel,
+        out_shape=jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(jnp.asarray(slots))
+    got = np.asarray(out).reshape(-1)[:256]
+    want = np.asarray(STEPSIZE_TABLE)
+    diffs = np.nonzero(got != want)[0]
+    return tuple((int(s), int(want[s] - got[s])) for s in diffs)
+
+
+def warm_fused_engine() -> None:
+    """Resolve the step-size correction set eagerly (idempotent)."""
+    stepsize_corrections()
+
+
+def _delta_select(mag: jax.Array, bits_per_sample: int) -> jax.Array:
+    """Index-delta lookup as a select chain on the magnitude bits.
+
+    ``mag`` is code & absmask (sign bit stripped; the tables mirror, so the
+    delta ignores it — reference: src/aad_tables.c:8-45).
+    """
+    tab = [int(v) for v in INDEX_TABLES[bits_per_sample][: 2 ** (bits_per_sample - 1)]]
+    if bits_per_sample == 2:
+        return jnp.where(mag == 0, jnp.int32(tab[0]), jnp.int32(tab[1]))
+    if bits_per_sample == 3:
+        return jnp.where(
+            mag == 0,
+            jnp.int32(tab[0]),
+            jnp.where(
+                mag == 1,
+                jnp.int32(tab[1]),
+                jnp.where(mag == 2, jnp.int32(tab[2]), jnp.int32(tab[3])),
+            ),
+        )
+    # 4-bit: [-18, -17, -14, 16, 32, 64, 128, 256]; entries 3.. are 16 << (m-3)
+    low = jnp.where(
+        mag == 0, jnp.int32(tab[0]), jnp.where(mag == 1, jnp.int32(tab[1]), jnp.int32(tab[2]))
+    )
+    high = jnp.left_shift(jnp.int32(16), mag - 3)
+    return jnp.where(mag < 3, low, high)
+
+
+def _make_kernel(bits_per_sample: int, corrections: tuple[tuple[int, int], ...]):
+    signbit = 1 << (bits_per_sample - 1)
+    absmask = signbit - 1
+    wshift = FIXEDPOINT_DIGITS + LMSFILTER_SHIFT
+
+    def kernel(codes_ref, idx_ref, h_ref, w_ref, out_ref, state):
+        half = jnp.int32(FIXEDPOINT_0_5)
+        lo16 = jnp.int32(INT16_MIN)
+        hi16 = jnp.int32(INT16_MAX)
+        t_chunk = pl.program_id(1)
+
+        @pl.when(t_chunk == 0)
+        def _init():
+            for k in range(4):
+                state[k] = h_ref[0, k]
+                state[4 + k] = w_ref[0, k]
+            state[8] = idx_ref[0, 0]
+
+        def step(t, carry):
+            h0, h1, h2, h3, w0, w1, w2, w3, idx = carry
+            code = codes_ref[t, 0]
+            mag = code & absmask
+
+            # step size from the verified formula (+ corrections)
+            slot = (idx + TABLES_FLOAT_0_5) >> TABLES_FLOAT_DIGITS
+            step_f = _stepsize_f32(slot)
+            stepsize = step_f.astype(jnp.int32)
+            for s, d in corrections:
+                stepsize = stepsize + jnp.where(slot == s, jnp.int32(d), jnp.int32(0))
+
+            # quantised difference (reference: src/aad_decoder.c:284-288)
+            qmag = (stepsize * ((mag << 1) + 1)) >> (bits_per_sample - 1)
+            qdiff = jnp.where((code & signbit) != 0, -qmag, qmag)
+
+            # index adaptation (reference: src/aad_tables.h:31-43)
+            idx = jnp.maximum(
+                jnp.int32(0),
+                jnp.minimum(jnp.int32(STEP_INDEX_MAX), idx + _delta_select(mag, bits_per_sample)),
+            )
+
+            # LMS reconstruction (reference: src/aad_decoder.c:291-315)
+            pred = (half + h0 * w0 + h1 * w1 + h2 * w2 + h3 * w3) >> FIXEDPOINT_DIGITS
+            s = jnp.maximum(lo16, jnp.minimum(hi16, qdiff + pred))
+            w0 = w0 + ((qdiff * h0 + half) >> wshift)
+            w1 = w1 + ((qdiff * h1 + half) >> wshift)
+            w2 = w2 + ((qdiff * h2 + half) >> wshift)
+            w3 = w3 + ((qdiff * h3 + half) >> wshift)
+            out_ref[t, 0] = s
+            return s, h0, h1, h2, w0, w1, w2, w3, idx
+
+        carry = (
+            state[0], state[1], state[2], state[3],
+            state[4], state[5], state[6], state[7], state[8],
+        )
+        carry = lax.fori_loop(0, T_CHUNK, step, carry)
+        for k in range(9):
+            state[k] = carry[k]
+
+    return kernel
+
+
+def decode_fused(
+    codes: jax.Array,
+    step_index: jax.Array,
+    history: jax.Array,
+    weight: jax.Array,
+    *,
+    bits_per_sample: int,
+) -> jax.Array:
+    """codes (..., T) + per-lane initial state -> samples (..., T) int32.
+
+    TPU-only; bit-exact with the two-phase scan engine (cross-checked by the
+    conformance suite on golden fixtures). Call :func:`warm_fused_engine`
+    once (eagerly) before using this from inside other jitted code.
+    """
+    corrections = stepsize_corrections()
+    return _decode_fused_impl(
+        codes,
+        step_index,
+        history,
+        weight,
+        bits_per_sample=bits_per_sample,
+        corrections=corrections,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bits_per_sample", "corrections")
+)
+def _decode_fused_impl(
+    codes: jax.Array,
+    step_index: jax.Array,
+    history: jax.Array,
+    weight: jax.Array,
+    *,
+    bits_per_sample: int,
+    corrections: tuple[tuple[int, int], ...],
+) -> jax.Array:
+    lane_shape = codes.shape[:-1]
+    T = codes.shape[-1]
+    L = int(np.prod(lane_shape, dtype=np.int64)) if lane_shape else 1
+
+    cd = codes.reshape(L, T).astype(jnp.int32)
+    ii = step_index.reshape(L).astype(jnp.int32)
+    h = history.reshape(L, 4)
+    w = weight.reshape(L, 4)
+
+    Lp = -(-L // TILE) * TILE
+    Tp = -(-T // T_CHUNK) * T_CHUNK
+    cd = jnp.pad(cd, ((0, Lp - L), (0, Tp - T)))
+    ii = jnp.pad(ii, (0, Lp - L))
+    h = jnp.pad(h, ((0, Lp - L), (0, 0)))
+    w = jnp.pad(w, ((0, Lp - L), (0, 0)))
+
+    n_tiles = Lp // TILE
+    cd_t = cd.reshape(n_tiles, SUBLANES, LANES, Tp).transpose(3, 0, 1, 2)
+    ii_t = ii.reshape(n_tiles, 1, SUBLANES, LANES)
+    h_t = h.T.reshape(4, n_tiles, SUBLANES, LANES).transpose(1, 0, 2, 3)
+    w_t = w.T.reshape(4, n_tiles, SUBLANES, LANES).transpose(1, 0, 2, 3)
+
+    grid = (n_tiles, Tp // T_CHUNK)
+    out = pl.pallas_call(
+        _make_kernel(bits_per_sample, corrections),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (T_CHUNK, 1, SUBLANES, LANES),
+                lambda i, j: (j, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, SUBLANES, LANES),
+                lambda i, j: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 4, SUBLANES, LANES),
+                lambda i, j: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 4, SUBLANES, LANES),
+                lambda i, j: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (T_CHUNK, 1, SUBLANES, LANES),
+            lambda i, j: (j, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((Tp, n_tiles, SUBLANES, LANES), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((9, SUBLANES, LANES), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(cd_t, ii_t, h_t, w_t)
+
+    samples = out.transpose(1, 2, 3, 0).reshape(Lp, Tp)[:L, :T]
+    return samples.reshape(*lane_shape, T)
