@@ -9,12 +9,20 @@ import pathlib
 import shutil
 import subprocess
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["AAD_TPU_PLATFORM"] = "cpu"  # honoured by aad_tpu.cli subprocesses
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Some environments install a site hook that programmatically selects an
+# accelerator platform, overriding JAX_PLATFORMS; the config update below
+# wins because it runs after that hook.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,115 @@
+"""CLI conformance: our six modes vs the reference binary's behaviour."""
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+from aad_tpu.format.wav import read_wav
+
+from util import sine, write_pcm16_wav
+
+_CACHE_DIR = os.path.join(tempfile.gettempdir(), "aad_tpu_test_jit_cache")
+
+
+def run_cli(args, **kw):
+    env = dict(os.environ)
+    # Share compiled executables across CLI subprocesses.
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    return subprocess.run(
+        [sys.executable, "-m", "aad_tpu.cli", *args],
+        capture_output=True, text=True, timeout=600,
+        cwd="/root/repo", env=env, **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def short_wav(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cli") / "in.wav"
+    write_pcm16_wav(p, sine(2500, 1, rate=44100), 44100)
+    return p
+
+
+class TestModes:
+    def test_encode_decode_roundtrip(self, short_wav, tmp_path, reference_cli):
+        aad = tmp_path / "out.aad"
+        r = run_cli(["-e", "-s", "256", str(short_wav), str(aad)])
+        assert r.returncode == 0, r.stderr
+        # byte-exact vs reference encoder
+        ref_aad = tmp_path / "ref.aad"
+        subprocess.run([str(reference_cli), "-e", "-s", "256",
+                        str(short_wav), str(ref_aad)], check=True)
+        assert aad.read_bytes() == ref_aad.read_bytes()
+
+        wav_out = tmp_path / "out.wav"
+        r = run_cli(["-d", str(aad), str(wav_out)])
+        assert r.returncode == 0, r.stderr
+        ref_wav = tmp_path / "ref.wav"
+        subprocess.run([str(reference_cli), "-d", str(ref_aad), str(ref_wav)],
+                       check=True)
+        _, ours = read_wav(str(wav_out))
+        _, refs = read_wav(str(ref_wav))
+        np.testing.assert_array_equal(ours, refs)
+
+    def test_reconstruct(self, short_wav, tmp_path, reference_cli):
+        out = tmp_path / "rec.wav"
+        assert run_cli(["-r", "-s", "256", str(short_wav), str(out)]).returncode == 0
+        ref = tmp_path / "rec_ref.wav"
+        subprocess.run([str(reference_cli), "-r", "-s", "256",
+                        str(short_wav), str(ref)], check=True)
+        _, ours = read_wav(str(out))
+        _, refs = read_wav(str(ref))
+        np.testing.assert_array_equal(ours, refs)
+
+    def test_gap(self, short_wav, tmp_path, reference_cli):
+        out = tmp_path / "gap.wav"
+        assert run_cli(["-g", "-s", "256", str(short_wav), str(out)]).returncode == 0
+        ref = tmp_path / "gap_ref.wav"
+        subprocess.run([str(reference_cli), "-g", "-s", "256",
+                        str(short_wav), str(ref)], check=True)
+        _, ours = read_wav(str(out))
+        _, refs = read_wav(str(ref))
+        np.testing.assert_array_equal(ours, refs)
+
+    def test_calculate(self, short_wav, reference_cli):
+        r = run_cli(["-c", "-s", "256", str(short_wav)])
+        assert r.returncode == 0, r.stderr
+        ref = subprocess.run([str(reference_cli), "-c", "-s", "256",
+                              str(short_wav)], capture_output=True, text=True)
+        # identical statistics line (both print %f-formatted doubles)
+        assert r.stdout.strip() == ref.stdout.strip()
+
+    def test_information(self, short_wav, tmp_path, reference_cli):
+        aad = tmp_path / "i.aad"
+        subprocess.run([str(reference_cli), "-e", str(short_wav), str(aad)],
+                       check=True)
+        r = run_cli(["-i", str(aad)])
+        ref = subprocess.run([str(reference_cli), "-i", str(aad)],
+                             capture_output=True, text=True)
+        assert r.returncode == 0
+        assert r.stdout == ref.stdout
+
+
+class TestErrors:
+    def test_no_mode(self, short_wav):
+        r = run_cli([str(short_wav), "x"])
+        assert r.returncode == 2
+
+    def test_two_modes(self, short_wav):
+        r = run_cli(["-e", "-d", str(short_wav), "x"])
+        assert r.returncode == 2
+
+    def test_missing_output(self, short_wav):
+        assert run_cli(["-e", str(short_wav)]).returncode == 2
+
+    def test_missing_input_file(self, tmp_path):
+        r = run_cli(["-d", str(tmp_path / "none.aad"), str(tmp_path / "o.wav")])
+        assert r.returncode == 1
+
+    def test_version(self):
+        r = run_cli(["-v"])
+        assert r.returncode == 0 and "Version" in r.stdout
