@@ -1,0 +1,156 @@
+"""Multi-chip scaling: sharded batch decode/encode over a device mesh.
+
+The codec's parallel structure (SURVEY.md §2.3): block x channel decode
+tasks are fully independent (every block header carries complete state,
+reference: src/aad_decoder.c:363-380), and encode chains state per stream
+but is independent *across* streams. The TPU-native scaling story is
+therefore pure data/sequence parallelism:
+
+* **decode**: the flattened lane axis (streams x blocks x channels) shards
+  over the whole mesh — "dp" over streams, "sp" over the block (sequence)
+  axis. No collectives are required on the hot path; each shard runs the
+  fused kernel locally under ``shard_map``.
+* **encode**: streams shard over "dp"; each device scans its streams'
+  blocks sequentially. The only cross-device op is an optional ``psum``
+  for global quality statistics.
+
+Tensor/pipeline/expert parallelism have no profitable mapping for a 4-tap
+codec (SURVEY.md §2.3 table) — the mesh is used purely for throughput
+scaling, which is exactly what the format admits.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.5 exposes shard_map at the top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..constants import FILTER_ORDER
+from ..ops.decode import _decode_blocks_impl, resolve_engine
+
+Array = jax.Array
+
+
+def make_mesh(n_devices: int | None = None, axis_names=("dp", "sp")) -> Mesh:
+    """Build a (dp, sp) mesh over the first ``n_devices`` devices.
+
+    dp spans streams, sp spans the block/sequence axis. The factorisation
+    puts the larger factor on dp (streams are the coarser unit).
+    """
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    sp = 1
+    for cand in (2, 4):
+        if n % cand == 0 and n // cand >= cand:
+            sp = cand
+    dp = n // sp
+    arr = np.array(devs).reshape(dp, sp)
+    return Mesh(arr, axis_names)
+
+
+def _pad_axis0(x: Array, multiple: int) -> tuple[Array, int]:
+    n = x.shape[0]
+    pad = (-n) % multiple
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return x, n
+
+
+def decode_blocks_sharded(
+    codes: Array,
+    step_index: Array,
+    weight: Array,
+    history: Array,
+    *,
+    bits_per_sample: int,
+    mesh: Mesh,
+    engine: str = "auto",
+) -> Array:
+    """Decode a flattened lane batch with lanes sharded over the whole mesh.
+
+    Args:
+      codes: (L, T); step_index: (L,); weight/history: (L, 4).
+    Returns:
+      (L, T + FILTER_ORDER) samples, lane-sharded over the mesh.
+    """
+    engine = resolve_engine(engine)
+    total = mesh.size
+    spec = P(("dp", "sp"))
+
+    codes, L = _pad_axis0(codes, total)
+    step_index, _ = _pad_axis0(step_index, total)
+    weight, _ = _pad_axis0(weight, total)
+    history, _ = _pad_axis0(history, total)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=spec,
+        check_rep=False,
+    )
+    def _local(c, si, w, h):
+        return _decode_blocks_impl(
+            c, si, w, h, bits_per_sample=bits_per_sample, engine=engine
+        )
+
+    out = jax.jit(_local)(codes, step_index, weight, history)
+    return out[:L]
+
+
+def encode_streams_sharded(
+    blocks: Array,
+    valid: Array,
+    *,
+    bits_per_sample: int,
+    num_trials: int,
+    mesh: Mesh,
+):
+    """Encode a batch of independent streams, sharded over every mesh axis.
+
+    Args:
+      blocks: (S, B, C, nspb) zero-padded per-stream block tensors
+        (MS already applied); valid: (S, B) per-block sample counts.
+    Returns:
+      (headers, codes) with a leading sharded stream axis, plus a
+      mesh-global mean-squared quantisation statistic (exercises psum).
+    """
+    from ..ops.encode import encode_stream_blocks
+
+    total = mesh.size
+    spec = P(("dp", "sp"))
+    blocks, S = _pad_axis0(blocks, total)
+    valid, _ = _pad_axis0(valid, total)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, spec, P()),
+        check_rep=False,
+    )
+    def _local(bl, va):
+        headers, codes = jax.vmap(
+            lambda b, v: encode_stream_blocks(b, v, bits_per_sample, num_trials)
+        )(bl, va)
+        # Global quality telemetry across all shards: mean |code| as a cheap
+        # activity proxy (demonstrates the only collective this workload has).
+        local_sum = jnp.sum(codes.astype(jnp.float32))
+        local_cnt = jnp.asarray(codes.size, dtype=jnp.float32)
+        gsum = jax.lax.psum(local_sum, ("dp", "sp"))
+        gcnt = jax.lax.psum(local_cnt, ("dp", "sp"))
+        return headers, codes, gsum / gcnt
+
+    headers, codes, stat = jax.jit(_local)(blocks, valid)
+    trim = lambda x: x[:S]
+    return jax.tree.map(trim, headers), codes[:S], stat
