@@ -97,7 +97,7 @@ def decode_blocks_sharded(
         mesh=mesh,
         in_specs=(spec, spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     def _local(c, si, w, h):
         return _decode_blocks_impl(
@@ -137,7 +137,7 @@ def encode_streams_sharded(
         mesh=mesh,
         in_specs=(spec, spec),
         out_specs=(spec, spec, P()),
-        check_rep=False,
+        check_vma=False,
     )
     def _local(bl, va):
         headers, codes = jax.vmap(
