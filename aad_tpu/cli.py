@@ -54,8 +54,9 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", "--version", action="store_true",
                    help="show version information")
     p.add_argument("--engine", default="auto",
-                   choices=["auto", "fused", "pallas", "scan"],
-                   help="decode engine (default: auto)")
+                   choices=["auto", "native", "fused", "pallas", "scan"],
+                   help="codec engine (default: auto — native host codec for "
+                        "CLI latency, device pipeline otherwise)")
     p.add_argument("input", nargs="?")
     p.add_argument("output", nargs="?")
     return p
@@ -92,6 +93,35 @@ def _write_wav_16bit(path: str, fmt: WavFormat, pcm16: np.ndarray) -> None:
     write_wav(path, out_fmt, pcm16.astype(np.int32) << 16)
 
 
+def _use_native(args) -> bool:
+    """auto -> native host codec (instant vs seconds of per-shape jit)."""
+    if args.engine == "native":
+        return True
+    if args.engine != "auto":
+        return False
+    from . import native
+
+    return native.available()
+
+
+def _encode(args, pcm, fmt) -> bytes:
+    cfg = _config(args, fmt)
+    if _use_native(args):
+        from . import native
+
+        return native.encode(pcm, cfg)
+    return encode(pcm, cfg)
+
+
+def _decode(args, data):
+    if _use_native(args):
+        from . import native
+
+        return native.decode(data)
+    header, pcm = decode(data, engine=args.engine)
+    return header, np.asarray(pcm)
+
+
 def _reconstruct(args, path: str):
     """Round trip; returns (fmt, canonical (<<16-domain) pcm, decoded 16-bit).
 
@@ -101,8 +131,8 @@ def _reconstruct(args, path: str):
     """
     fmt, canonical = read_wav(path)
     pcm = (canonical >> 16).astype(np.int32)
-    data = encode(pcm, _config(args, fmt))
-    _, decoded = decode(data, engine=args.engine)
+    data = _encode(args, pcm, fmt)
+    _, decoded = _decode(args, data)
     return fmt, canonical, np.asarray(decoded)
 
 
@@ -170,7 +200,7 @@ def main(argv=None) -> int:
 
         if args.encode:
             fmt, pcm = _read_wav_16bit(args.input)
-            data = encode(pcm, _config(args, fmt))
+            data = _encode(args, pcm, fmt)
             with open(args.output, "wb") as f:
                 f.write(data)
             return 0
@@ -178,14 +208,14 @@ def main(argv=None) -> int:
         if args.decode:
             with open(args.input, "rb") as f:
                 data = f.read()
-            header, pcm = decode(data, engine=args.engine)
+            header, pcm = _decode(args, data)
             fmt = WavFormat(
                 num_channels=header.num_channels,
                 sampling_rate=header.sampling_rate,
                 bits_per_sample=16,
                 num_samples=header.num_samples,
             )
-            write_wav(args.output, fmt, np.asarray(pcm) << 16)
+            write_wav(args.output, fmt, pcm << 16)
             return 0
 
         fmt, canonical, decoded = _reconstruct(args, args.input)

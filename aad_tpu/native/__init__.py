@@ -1,0 +1,182 @@
+"""ctypes bindings for the native host codec (libaadx).
+
+The native path exists for latency: JAX compiles per shape (seconds); the
+native codec is instant, so small files, CLI cold starts and CPU-only hosts
+use it while large batched workloads go to the device pipeline. It is built
+on demand with the in-tree Makefile and cached next to the sources.
+
+Usage:
+    from aad_tpu import native
+    if native.available():
+        data = native.encode(pcm, config)
+        header, pcm = native.decode(data)
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+from ..codec.result import (
+    AadError,
+    ApiResult,
+    InsufficientBufferError,
+    InsufficientDataError,
+    InvalidArgumentError,
+    InvalidFormatError,
+)
+from ..format.header import HeaderInfo
+
+_DIR = pathlib.Path(__file__).parent
+_LIB_PATH = _DIR / "libaadx.so"
+_lock = threading.Lock()
+_lib: "ctypes.CDLL | None" = None
+_build_failed = False
+
+
+class _AadxInfo(ctypes.Structure):
+    _fields_ = [
+        ("format_version", ctypes.c_uint32),
+        ("codec_version", ctypes.c_uint32),
+        ("num_channels", ctypes.c_uint32),
+        ("num_samples", ctypes.c_uint32),
+        ("sampling_rate", ctypes.c_uint32),
+        ("bits_per_sample", ctypes.c_uint32),
+        ("block_size", ctypes.c_uint32),
+        ("num_samples_per_block", ctypes.c_uint32),
+        ("ch_process_method", ctypes.c_uint32),
+    ]
+
+
+_ERRORS = {
+    1: InvalidArgumentError,
+    2: InvalidFormatError,
+    3: InsufficientBufferError,
+    4: InsufficientDataError,
+}
+
+
+def _raise(rc: int, where: str):
+    if rc == 0:
+        return
+    exc = _ERRORS.get(rc)
+    if exc is None:
+        raise AadError(ApiResult.NG, f"{where}: native status {rc}")
+    raise exc(f"{where} (native)")
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s"], cwd=_DIR, check=True, capture_output=True, timeout=120
+        )
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def _load() -> "ctypes.CDLL | None":
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        src_mtime = max(
+            (p.stat().st_mtime for p in (_DIR / "aadx.cc", _DIR / "aadx.h")),
+        )
+        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < src_mtime:
+            if not _build():
+                _build_failed = True
+                return None
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.aadx_parse_header.restype = ctypes.c_int
+        lib.aadx_decode.restype = ctypes.c_int
+        lib.aadx_encode.restype = ctypes.c_int
+        lib.aadx_encode_bound.restype = ctypes.c_size_t
+        lib.aadx_block_geometry.restype = ctypes.c_int
+        _lib = lib
+        return lib
+
+
+def available() -> bool:
+    """True when the native library is (or can be) built and loaded."""
+    return _load() is not None
+
+
+def _as_header(info: _AadxInfo) -> HeaderInfo:
+    return HeaderInfo(
+        format_version=info.format_version,
+        codec_version=info.codec_version,
+        num_channels=info.num_channels,
+        num_samples=info.num_samples,
+        sampling_rate=info.sampling_rate,
+        bits_per_sample=info.bits_per_sample,
+        block_size=info.block_size,
+        num_samples_per_block=info.num_samples_per_block,
+        ch_process_method=info.ch_process_method,
+    )
+
+
+def decode(data: bytes | np.ndarray) -> tuple[HeaderInfo, np.ndarray]:
+    """Native whole-stream decode; same contract as aad_tpu.decode."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native codec unavailable")
+    buf = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(
+        data, (bytes, bytearray)
+    ) else np.ascontiguousarray(data, dtype=np.uint8)
+
+    info = _AadxInfo()
+    rc = lib.aadx_parse_header(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        buf.size,
+        ctypes.byref(info),
+    )
+    _raise(rc, "parse_header")
+    out = np.empty(info.num_channels * info.num_samples, dtype=np.int32)
+    rc = lib.aadx_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        buf.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.size,
+        ctypes.byref(info),
+    )
+    _raise(rc, "decode")
+    return _as_header(info), out.reshape(info.num_channels, info.num_samples)
+
+
+def encode(pcm: np.ndarray, config) -> bytes:
+    """Native whole-stream encode; same contract as aad_tpu.codec.encode."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native codec unavailable")
+    pcm = np.ascontiguousarray(pcm, dtype=np.int32)
+    nch, n = pcm.shape
+    bound = lib.aadx_encode_bound(
+        nch, n, config.bits_per_sample, config.max_block_size
+    )
+    if bound == 0:
+        raise InvalidFormatError("bad encode parameters (native)")
+    out = np.empty(bound, dtype=np.uint8)
+    out_size = ctypes.c_size_t()
+    rc = lib.aadx_encode(
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nch,
+        n,
+        config.sampling_rate,
+        config.bits_per_sample,
+        config.max_block_size,
+        config.ch_process_method,
+        config.num_encode_trials,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.size,
+        ctypes.byref(out_size),
+    )
+    _raise(rc, "encode")
+    return out[: out_size.value].tobytes()

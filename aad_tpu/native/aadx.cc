@@ -1,0 +1,521 @@
+// aadx — native host codec for the AAD bitstream format.
+//
+// Fresh C++17 implementation of the format (spec: SURVEY.md appendices A-C;
+// behaviour pinned byte-exact to the ecosystem by the shared conformance
+// suite in tests/). Compile with -fwrapv: the format's reference semantics
+// are two's-complement int32 wraparound.
+
+#include "aadx.h"
+
+#include <algorithm>
+#include <cmath>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int kFilterOrder = 4;
+constexpr int kFixedDigits = 15;
+constexpr int32_t kHalf = 1 << (kFixedDigits - 1);
+constexpr int kLmsShift = 3;
+constexpr int kQ4 = 4;
+constexpr int32_t kQ4Half = 1 << (kQ4 - 1);
+constexpr int32_t kIndexMax = 255 << kQ4;
+constexpr uint32_t kHeaderSize = 31;
+constexpr uint32_t kFormatVersion = 4;
+constexpr uint32_t kCodecVersion = 18;
+constexpr uint32_t kMaxChannels = 2;
+
+// ---- adaptation tables ----------------------------------------------------
+
+struct Tables {
+  int32_t step[256];
+  int32_t delta4[8];
+  int32_t delta3[4];
+  int32_t delta2[2];
+  Tables() {
+    const double c = std::log2(32767.0 - std::pow(255.0, 1.1)) / 255.0;
+    for (int x = 0; x < 256; ++x) {
+      step[x] = static_cast<int32_t>(
+          std::llround(std::pow(double(x), 1.1) + std::exp2(c * x)));
+    }
+    const double spec4[8] = {-1.17, -1.07, -0.9, 1, 2, 4, 8, 16};
+    const double spec3[4] = {-1.06, -0.95, 2, 8};
+    const double spec2[2] = {-0.9, 2.5};
+    for (int i = 0; i < 8; ++i) delta4[i] = static_cast<int32_t>(spec4[i] * 16);
+    for (int i = 0; i < 4; ++i) delta3[i] = static_cast<int32_t>(spec3[i] * 16);
+    for (int i = 0; i < 2; ++i) delta2[i] = static_cast<int32_t>(spec2[i] * 16);
+  }
+  const int32_t* deltas(uint32_t bps) const {
+    switch (bps) {
+      case 4: return delta4;
+      case 3: return delta3;
+      default: return delta2;
+    }
+  }
+};
+const Tables& tables() {
+  static const Tables t;
+  return t;
+}
+
+// ---- small helpers --------------------------------------------------------
+
+inline int32_t clip16(int32_t v) {
+  return std::max<int32_t>(-32768, std::min<int32_t>(32767, v));
+}
+
+inline uint32_t rd_u16(const uint8_t* p) {
+  return (uint32_t(p[0]) << 8) | p[1];
+}
+inline uint32_t rd_u32(const uint8_t* p) {
+  return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+         (uint32_t(p[2]) << 8) | p[3];
+}
+inline void wr_u16(uint8_t* p, uint32_t v) {
+  p[0] = uint8_t(v >> 8);
+  p[1] = uint8_t(v);
+}
+inline void wr_u32(uint8_t* p, uint32_t v) {
+  p[0] = uint8_t(v >> 24);
+  p[1] = uint8_t(v >> 16);
+  p[2] = uint8_t(v >> 8);
+  p[3] = uint8_t(v);
+}
+
+inline uint32_t gcd_u32(uint32_t a, uint32_t b) {
+  while (b) {
+    uint32_t t = a % b;
+    a = b;
+    b = t;
+  }
+  return a;
+}
+
+// ---- the adaptive predictor -----------------------------------------------
+
+struct Lms {
+  int32_t h[kFilterOrder] = {0, 0, 0, 0};  // h[0] = newest
+  int32_t w[kFilterOrder] = {0, 0, 0, 0};
+  int32_t idx = 0;
+
+  int32_t stepsize() const { return tables().step[(idx + kQ4Half) >> kQ4]; }
+
+  void adapt_index(uint32_t code, uint32_t bps) {
+    const int32_t half = 1 << (bps - 1);
+    const int32_t d = tables().deltas(bps)[code & (half - 1)];
+    idx = std::max<int32_t>(0, std::min<int32_t>(kIndexMax, idx + d));
+  }
+
+  int32_t predict() const {
+    int32_t acc = kHalf;
+    for (int k = 0; k < kFilterOrder; ++k) acc += h[k] * w[k];
+    return acc >> kFixedDigits;
+  }
+
+  void update(int32_t qdiff, int32_t sample) {
+    for (int k = 0; k < kFilterOrder; ++k)
+      w[k] += (qdiff * h[k] + kHalf) >> (kFixedDigits + kLmsShift);
+    for (int k = kFilterOrder - 1; k > 0; --k) h[k] = h[k - 1];
+    h[0] = sample;
+  }
+
+  int32_t decode(uint32_t code, uint32_t bps) {
+    const uint32_t sign = 1u << (bps - 1);
+    const int32_t s = stepsize();
+    int32_t q = (s * (int32_t((code & (sign - 1)) << 1) + 1)) >> (bps - 1);
+    if (code & sign) q = -q;
+    const int32_t sample = clip16(q + predict());
+    adapt_index(code, bps);
+    update(q, sample);
+    return sample;
+  }
+
+  // Returns the code; quantisation error (the reconstructed diff) through
+  // *qdiff for the trial search.
+  uint32_t encode(int32_t sample, uint32_t bps, int32_t* qdiff) {
+    const uint32_t sign = 1u << (bps - 1);
+    const uint32_t absmask = sign - 1;
+    const int32_t s = stepsize();
+    const int32_t pred = predict();
+    int32_t diff = sample - pred;
+    const bool neg = diff < 0;
+    int32_t mag = neg ? -diff : diff;
+    uint32_t code =
+        std::min<int32_t>((mag << (bps - 2)) / s, int32_t(absmask));
+    if (neg) code |= sign;
+    int32_t q = (s * (int32_t((code & absmask) << 1) + 1)) >> (bps - 1);
+    if (neg) q = -q;
+    adapt_index(code, bps);
+    *qdiff = q;
+    update(q, clip16(q + pred));
+    return code;
+  }
+
+  void seed(const int32_t* samples, uint32_t n) {
+    for (uint32_t k = 0; k < kFilterOrder; ++k)
+      h[kFilterOrder - 1 - k] = (k < n) ? int16_t(samples[k]) : 0;
+  }
+};
+
+struct Geometry {
+  uint32_t block_size = 0;
+  uint32_t samples_per_block = 0;
+  uint32_t header_bytes = 0;
+  uint32_t unit_bytes = 0;
+  uint32_t samples_per_unit = 0;
+};
+
+int derive_geometry(uint32_t max_block, uint32_t nch, uint32_t bps,
+                    Geometry* g) {
+  if (nch == 0 || nch > kMaxChannels || bps == 0 || bps > 4)
+    return AADX_INVALID_FORMAT;
+  const uint32_t header = (4 * kFilterOrder + 2) * nch;
+  if (max_block < header) return AADX_INVALID_FORMAT;
+  const uint32_t lcm = 8 * bps / gcd_u32(8, bps);
+  const uint32_t unit = nch * (lcm / 8);
+  const uint32_t spu = unit * 8 / (nch * bps);
+  const uint32_t units = (max_block - header) / unit;
+  g->header_bytes = header;
+  g->unit_bytes = unit;
+  g->samples_per_unit = spu;
+  g->block_size = header + units * unit;
+  g->samples_per_block = units * spu + kFilterOrder;
+  return AADX_OK;
+}
+
+// ---- block codecs ---------------------------------------------------------
+
+// Decode one block into out[ch][t] (pointers per channel), returning bytes
+// consumed. `limit` bounds the emitted samples (ragged final block).
+size_t decode_block(const uint8_t* p, const AadxInfo& info, const Geometry& g,
+                    Lms* lms, int32_t** out, uint32_t limit) {
+  const uint32_t nch = info.num_channels;
+  const uint32_t bps = info.bits_per_sample;
+  const uint8_t* start = p;
+
+  for (uint32_t ch = 0; ch < nch; ++ch) {
+    const uint32_t tag = rd_u16(p);
+    p += 2;
+    lms[ch].idx = int32_t(tag >> kQ4);
+    const uint32_t shift = tag & 0xF;
+    for (int k = 0; k < kFilterOrder; ++k) {
+      lms[ch].w[k] = int32_t(int16_t(rd_u16(p))) << shift;
+      p += 2;
+      lms[ch].h[k] = int16_t(rd_u16(p));
+      p += 2;
+    }
+  }
+
+  const uint32_t emit = std::min(info.num_samples_per_block, limit);
+  for (uint32_t ch = 0; ch < nch; ++ch)
+    for (uint32_t t = 0; t < std::min<uint32_t>(kFilterOrder, emit); ++t)
+      out[ch][t] = lms[ch].h[kFilterOrder - 1 - t];
+
+  const uint32_t spu = g.samples_per_unit;
+  for (uint32_t t = kFilterOrder; t < emit; t += spu) {
+    const uint32_t take = std::min<uint32_t>(spu, emit - t);
+    for (uint32_t ch = 0; ch < nch; ++ch) {
+      int32_t buf[8];
+      if (bps == 4) {
+        const uint32_t b = *p++;
+        buf[0] = lms[ch].decode((b >> 4) & 0xF, 4);
+        buf[1] = lms[ch].decode(b & 0xF, 4);
+      } else if (bps == 2) {
+        const uint32_t b = *p++;
+        for (int k = 0; k < 4; ++k)
+          buf[k] = lms[ch].decode((b >> (6 - 2 * k)) & 0x3, 2);
+      } else {
+        const uint32_t word =
+            (uint32_t(p[0]) << 16) | (uint32_t(p[1]) << 8) | p[2];
+        p += 3;
+        for (int k = 0; k < 8; ++k)
+          buf[k] = lms[ch].decode((word >> (21 - 3 * k)) & 0x7, 3);
+      }
+      std::memcpy(&out[ch][t], buf, sizeof(int32_t) * take);
+    }
+  }
+
+  if (info.ch_process_method == 1) {
+    for (uint32_t t = 0; t < emit; ++t) {
+      const int32_t mid = out[0][t], side = out[1][t];
+      out[0][t] = clip16(mid + side);
+      out[1][t] = clip16(mid - side);
+    }
+  }
+  return size_t(p - start);
+}
+
+void ms_transform(std::vector<int32_t>& a, std::vector<int32_t>& b,
+                  uint32_t n) {
+  for (uint32_t t = 0; t < n; ++t) {
+    const int32_t mid = (a[t] + b[t]) >> 1;
+    const int32_t side = (a[t] - b[t]) >> 1;
+    a[t] = clip16(mid);
+    b[t] = clip16(side);
+  }
+}
+
+// Trial-measure pass: seed from the first 4 samples, encode [4, n), return
+// the summed squared quantisation error. State advances in place.
+uint64_t measure(Lms* s, const int32_t* x, uint32_t n, uint32_t bps) {
+  if (n < kFilterOrder) return 0;  // also: no state change
+  s->seed(x, n);
+  uint64_t sse = 0;
+  for (uint32_t t = kFilterOrder; t < n; ++t) {
+    int32_t q;
+    s->encode(x[t], bps, &q);
+    sse += uint64_t(int64_t(q) * q);
+  }
+  return sse;
+}
+
+}  // namespace
+
+// ---- public API -----------------------------------------------------------
+
+extern "C" {
+
+uint32_t aadx_abi_version(void) { return 1; }
+
+int aadx_block_geometry(uint32_t max_block_size, uint32_t num_channels,
+                        uint32_t bits_per_sample, uint32_t* block_size,
+                        uint32_t* num_samples_per_block) {
+  Geometry g;
+  const int rc = derive_geometry(max_block_size, num_channels, bits_per_sample, &g);
+  if (rc != AADX_OK) return rc;
+  if (block_size) *block_size = g.block_size;
+  if (num_samples_per_block) *num_samples_per_block = g.samples_per_block;
+  return AADX_OK;
+}
+
+int aadx_parse_header(const uint8_t* data, size_t size, AadxInfo* info) {
+  if (!data || !info) return AADX_INVALID_ARGUMENT;
+  if (size < kHeaderSize) return AADX_INSUFFICIENT_DATA;
+  if (data[0] != 'A' || data[1] != 'A' || data[2] != 'D' || data[3] != 0)
+    return AADX_INVALID_FORMAT;
+  info->format_version = rd_u32(data + 4);
+  info->codec_version = rd_u32(data + 8);
+  info->num_channels = rd_u16(data + 12);
+  info->num_samples = rd_u32(data + 14);
+  info->sampling_rate = rd_u32(data + 18);
+  info->bits_per_sample = rd_u16(data + 22);
+  info->block_size = rd_u16(data + 24);
+  info->num_samples_per_block = rd_u32(data + 26);
+  info->ch_process_method = data[30];
+  return AADX_OK;
+}
+
+static int check_info(const AadxInfo& h) {
+  if (h.format_version != kFormatVersion || h.codec_version != kCodecVersion)
+    return AADX_INVALID_FORMAT;
+  if (h.num_channels == 0 || h.num_channels > kMaxChannels)
+    return AADX_INVALID_FORMAT;
+  if (h.num_samples == 0 || h.sampling_rate == 0) return AADX_INVALID_FORMAT;
+  if (h.bits_per_sample < 2 || h.bits_per_sample > 4)
+    return AADX_INVALID_FORMAT;
+  if (h.block_size <= (4 * kFilterOrder + 2) * h.num_channels)
+    return AADX_INVALID_FORMAT;
+  if (h.num_samples_per_block == 0) return AADX_INVALID_FORMAT;
+  if (h.ch_process_method >= 2) return AADX_INVALID_FORMAT;
+  if (h.ch_process_method == 1 && h.num_channels == 1)
+    return AADX_INVALID_FORMAT;
+  return AADX_OK;
+}
+
+int aadx_decode(const uint8_t* data, size_t size, int32_t* pcm,
+                size_t capacity, AadxInfo* info) {
+  if (!data || !pcm || !info) return AADX_INVALID_ARGUMENT;
+  int rc = aadx_parse_header(data, size, info);
+  if (rc != AADX_OK) return rc;
+  rc = check_info(*info);
+  if (rc != AADX_OK) return rc;
+
+  Geometry g;
+  rc = derive_geometry(info->block_size, info->num_channels,
+                       info->bits_per_sample, &g);
+  if (rc != AADX_OK || g.block_size != info->block_size)
+    return AADX_INVALID_FORMAT;
+  if (capacity < size_t(info->num_channels) * info->num_samples)
+    return AADX_INSUFFICIENT_BUFFER;
+
+  Lms lms[kMaxChannels];
+  int32_t* chans[kMaxChannels];
+  size_t off = kHeaderSize;
+  uint32_t done = 0;
+  while (done < info->num_samples && off < size) {
+    if (size - off < g.header_bytes) return AADX_INSUFFICIENT_DATA;
+    for (uint32_t ch = 0; ch < info->num_channels; ++ch)
+      chans[ch] = pcm + size_t(ch) * info->num_samples + done;
+    const uint32_t limit = info->num_samples - done;
+    decode_block(data + off, *info, g, lms, chans, limit);
+    // Advance by the on-the-wire block size (the final block is truncated).
+    off += std::min<size_t>(info->block_size, size - off);
+    done += std::min(info->num_samples_per_block, limit);
+  }
+  return AADX_OK;
+}
+
+size_t aadx_encode_bound(uint32_t num_channels, uint32_t num_samples,
+                         uint32_t bits_per_sample, uint32_t max_block_size) {
+  Geometry g;
+  if (derive_geometry(max_block_size, num_channels, bits_per_sample, &g) !=
+      AADX_OK)
+    return 0;
+  const uint32_t data_samples = g.samples_per_block - kFilterOrder;
+  const size_t blocks = (num_samples + data_samples - 1) /
+                        std::max<uint32_t>(1, g.samples_per_block);
+  return kHeaderSize + (blocks + 2) * size_t(g.block_size);
+}
+
+int aadx_encode(const int32_t* pcm, uint32_t num_channels,
+                uint32_t num_samples, uint32_t sampling_rate,
+                uint32_t bits_per_sample, uint32_t max_block_size,
+                uint32_t ch_process_method, uint32_t num_encode_trials,
+                uint8_t* out, size_t capacity, size_t* out_size) {
+  if (!pcm || !out || !out_size) return AADX_INVALID_ARGUMENT;
+
+  Geometry g;
+  int rc = derive_geometry(max_block_size, num_channels, bits_per_sample, &g);
+  if (rc != AADX_OK) return rc;
+
+  AadxInfo h{};
+  h.format_version = kFormatVersion;
+  h.codec_version = kCodecVersion;
+  h.num_channels = num_channels;
+  h.num_samples = num_samples;
+  h.sampling_rate = sampling_rate;
+  h.bits_per_sample = bits_per_sample;
+  h.block_size = g.block_size;
+  h.num_samples_per_block = g.samples_per_block;
+  h.ch_process_method = ch_process_method;
+  rc = check_info(h);
+  if (rc != AADX_OK) return rc;
+  if (capacity < kHeaderSize) return AADX_INSUFFICIENT_BUFFER;
+
+  // file header
+  uint8_t* p = out;
+  p[0] = 'A'; p[1] = 'A'; p[2] = 'D'; p[3] = 0;
+  wr_u32(p + 4, kFormatVersion);
+  wr_u32(p + 8, kCodecVersion);
+  wr_u16(p + 12, num_channels);
+  wr_u32(p + 14, num_samples);
+  wr_u32(p + 18, sampling_rate);
+  wr_u16(p + 22, bits_per_sample);
+  wr_u16(p + 24, g.block_size);
+  wr_u32(p + 26, g.samples_per_block);
+  p[30] = uint8_t(ch_process_method);
+  p += kHeaderSize;
+
+  const uint32_t nspb = g.samples_per_block;
+  const bool ms = ch_process_method == 1 && num_channels == 2;
+  Lms state[kMaxChannels];
+
+  std::vector<int32_t> cur[kMaxChannels], prev[kMaxChannels];
+  for (uint32_t ch = 0; ch < num_channels; ++ch) {
+    cur[ch].resize(nspb);
+    prev[ch].resize(nspb);
+  }
+
+  for (uint32_t done = 0; done < num_samples; done += nspb) {
+    const uint32_t n = std::min(nspb, num_samples - done);
+
+    // current block, zero-padded, channel-transformed
+    for (uint32_t ch = 0; ch < num_channels; ++ch) {
+      std::fill(cur[ch].begin(), cur[ch].end(), 0);
+      std::memcpy(cur[ch].data(), pcm + size_t(ch) * num_samples + done,
+                  sizeof(int32_t) * n);
+    }
+    if (ms) ms_transform(cur[0], cur[1], n);
+
+    if (num_encode_trials > 0) {
+      const bool has_prev = done >= nspb;
+      if (has_prev) {
+        for (uint32_t ch = 0; ch < num_channels; ++ch)
+          std::memcpy(prev[ch].data(),
+                      pcm + size_t(ch) * num_samples + done - nspb,
+                      sizeof(int32_t) * nspb);
+        if (ms) ms_transform(prev[0], prev[1], nspb);
+      }
+      for (uint32_t ch = 0; ch < num_channels; ++ch) {
+        Lms best = state[ch];
+        Lms probe = state[ch];
+        uint64_t best_sse = measure(&probe, cur[ch].data(), n, bits_per_sample);
+        Lms walker = state[ch];
+        for (uint32_t trial = 0; trial < num_encode_trials; ++trial) {
+          if (has_prev)
+            measure(&walker, prev[ch].data(), nspb, bits_per_sample);
+          const Lms candidate = walker;
+          const uint64_t sse =
+              measure(&walker, cur[ch].data(), n, bits_per_sample);
+          if (sse < best_sse) {
+            best_sse = sse;
+            best = candidate;
+          }
+        }
+        state[ch] = best;
+      }
+    }
+
+    // block header: seed history, round weights, serialise state
+    for (uint32_t ch = 0; ch < num_channels; ++ch) {
+      state[ch].seed(cur[ch].data(), n);
+      int32_t maxabs = 0;
+      for (int k = 0; k < kFilterOrder; ++k) {
+        const int32_t a =
+            state[ch].w[k] >= 0 ? state[ch].w[k] : -state[ch].w[k];
+        maxabs = std::max(maxabs, a);
+      }
+      uint32_t shift = 0;
+      while (maxabs > 32767) {
+        maxabs >>= 1;
+        ++shift;
+      }
+      const int32_t mask = ~((1 << shift) - 1);
+      for (int k = 0; k < kFilterOrder; ++k) state[ch].w[k] &= mask;
+
+      if (size_t(p - out) + g.header_bytes > capacity)
+        return AADX_INSUFFICIENT_BUFFER;
+      wr_u16(p, uint32_t(state[ch].idx << kQ4) | shift);
+      p += 2;
+      for (int k = 0; k < kFilterOrder; ++k) {
+        wr_u16(p, uint16_t(state[ch].w[k] >> shift));
+        p += 2;
+        wr_u16(p, uint16_t(state[ch].h[k]));
+        p += 2;
+      }
+    }
+
+    // data section: whole interleave units covering [4, n)
+    int32_t q;
+    for (uint32_t t = kFilterOrder; t < n; t += g.samples_per_unit) {
+      if (size_t(p - out) + g.unit_bytes > capacity)
+        return AADX_INSUFFICIENT_BUFFER;
+      for (uint32_t ch = 0; ch < num_channels; ++ch) {
+        if (bits_per_sample == 4) {
+          const uint32_t c0 = state[ch].encode(cur[ch][t], 4, &q);
+          const uint32_t c1 = state[ch].encode(cur[ch][t + 1], 4, &q);
+          *p++ = uint8_t((c0 << 4) | c1);
+        } else if (bits_per_sample == 2) {
+          uint32_t b = 0;
+          for (int k = 0; k < 4; ++k)
+            b |= state[ch].encode(cur[ch][t + k], 2, &q) << (6 - 2 * k);
+          *p++ = uint8_t(b);
+        } else {
+          uint32_t word = 0;
+          for (int k = 0; k < 8; ++k)
+            word |= state[ch].encode(cur[ch][t + k], 3, &q) << (21 - 3 * k);
+          p[0] = uint8_t(word >> 16);
+          p[1] = uint8_t(word >> 8);
+          p[2] = uint8_t(word);
+          p += 3;
+        }
+      }
+    }
+  }
+
+  *out_size = size_t(p - out);
+  return AADX_OK;
+}
+
+}  // extern "C"

@@ -1,0 +1,71 @@
+/* aadx — native host codec for the AAD bitstream format.
+ *
+ * A from-scratch C++ implementation of the same wire format the JAX/Pallas
+ * pipeline speaks (format spec: SURVEY.md appendices; semantics pinned by
+ * the shared conformance suite). Serves as the low-latency host path for
+ * small files / CLI cold starts and as a second, independent oracle in
+ * tests. C ABI for ctypes consumption.
+ */
+#ifndef AADX_H_
+#define AADX_H_
+
+#include <stddef.h>
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+enum AadxStatus {
+  AADX_OK = 0,
+  AADX_INVALID_ARGUMENT = 1,
+  AADX_INVALID_FORMAT = 2,
+  AADX_INSUFFICIENT_BUFFER = 3,
+  AADX_INSUFFICIENT_DATA = 4,
+};
+
+typedef struct AadxInfo {
+  uint32_t format_version;
+  uint32_t codec_version;
+  uint32_t num_channels;
+  uint32_t num_samples;
+  uint32_t sampling_rate;
+  uint32_t bits_per_sample;
+  uint32_t block_size;
+  uint32_t num_samples_per_block;
+  uint32_t ch_process_method;
+} AadxInfo;
+
+/* Parse the 31-byte stream header. */
+int aadx_parse_header(const uint8_t* data, size_t size, AadxInfo* info);
+
+/* Decode a whole stream. pcm receives channel-major samples
+ * (pcm[ch * num_samples + t], int16-valued int32). capacity is the number
+ * of int32 slots available in pcm. */
+int aadx_decode(const uint8_t* data, size_t size, int32_t* pcm,
+                size_t capacity, AadxInfo* info);
+
+/* Encode a whole stream. pcm is channel-major as above. Returns the byte
+ * size written through out_size. */
+int aadx_encode(const int32_t* pcm, uint32_t num_channels,
+                uint32_t num_samples, uint32_t sampling_rate,
+                uint32_t bits_per_sample, uint32_t max_block_size,
+                uint32_t ch_process_method, uint32_t num_encode_trials,
+                uint8_t* out, size_t capacity, size_t* out_size);
+
+/* Size helpers, mirroring the block-geometry rules. */
+int aadx_block_geometry(uint32_t max_block_size, uint32_t num_channels,
+                        uint32_t bits_per_sample, uint32_t* block_size,
+                        uint32_t* num_samples_per_block);
+
+/* Upper bound on encoded size for capacity planning. */
+size_t aadx_encode_bound(uint32_t num_channels, uint32_t num_samples,
+                         uint32_t bits_per_sample, uint32_t max_block_size);
+
+uint32_t aadx_abi_version(void);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* AADX_H_ */

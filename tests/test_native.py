@@ -1,0 +1,108 @@
+"""Native host codec (libaadx) conformance.
+
+Three-way agreement: native C++ vs JAX pipeline vs the reference binary,
+plus golden fixtures. The native codec and the JAX pipeline are fully
+independent implementations, so their agreement is strong evidence both
+match the format.
+"""
+
+import numpy as np
+import pytest
+
+from aad_tpu import decode as jax_decode
+from aad_tpu import native
+from aad_tpu.codec.encoder import EncodeConfig, encode as jax_encode
+from aad_tpu.codec.result import InvalidFormatError, InsufficientDataError
+from aad_tpu.format.wav import read_wav
+
+from util import noise, sine
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native codec could not be built"
+)
+
+
+class TestGolden:
+    @pytest.mark.parametrize(
+        "aad,wav",
+        [
+            ("sin300Hz_mono.aad", "sin300Hz_mono_decoded.wav"),
+            ("sin300Hz.aad", "sin300Hz_decoded.wav"),
+        ],
+    )
+    def test_decode(self, fixture_dir, aad, wav):
+        data = (fixture_dir / aad).read_bytes()
+        h, pcm = native.decode(data)
+        _, golden = read_wav(str(fixture_dir / wav))
+        np.testing.assert_array_equal(pcm, golden >> 16)
+
+    @pytest.mark.parametrize(
+        "wav,aad", [("sin300Hz_mono.wav", "sin300Hz_mono.aad"),
+                    ("sin300Hz.wav", "sin300Hz.aad")]
+    )
+    def test_encode(self, fixture_dir, wav, aad):
+        fmt, pcm32 = read_wav(str(fixture_dir / wav))
+        pcm = (pcm32 >> 16).astype(np.int32)
+        cfg = EncodeConfig(
+            num_channels=fmt.num_channels, sampling_rate=fmt.sampling_rate
+        )
+        assert native.encode(pcm, cfg) == (fixture_dir / aad).read_bytes()
+
+
+class TestCrossImplementation:
+    @pytest.mark.parametrize("bps", [2, 3, 4])
+    @pytest.mark.parametrize("nch,ms", [(1, False), (2, False), (2, True)])
+    def test_encode_agrees_with_jax(self, bps, nch, ms):
+        pcm = noise(2000, nch, seed=3)
+        if nch == 2:
+            pcm[1] = sine(2000, 1)[0]
+        cfg = EncodeConfig(
+            num_channels=nch,
+            sampling_rate=44100,
+            bits_per_sample=bps,
+            max_block_size=256,
+            ch_process_method=1 if ms else 0,
+            num_encode_trials=2,
+        )
+        assert native.encode(pcm, cfg) == jax_encode(pcm, cfg)
+
+    def test_decode_agrees_with_jax(self):
+        pcm = noise(3000, 2, seed=4)
+        cfg = EncodeConfig(num_channels=2, sampling_rate=44100, max_block_size=128)
+        data = native.encode(pcm, cfg)
+        h_n, out_n = native.decode(data)
+        h_j, out_j = jax_decode(data, engine="scan")
+        np.testing.assert_array_equal(out_n, np.asarray(out_j))
+
+    def test_ragged_and_tiny_tails(self):
+        from aad_tpu.format.geometry import compute_block_geometry
+
+        geo = compute_block_geometry(256, 1, 4)
+        for extra in (1, 3, 4, 5, 7):
+            n = geo.num_samples_per_block + extra
+            pcm = sine(n, 1)
+            cfg = EncodeConfig(num_channels=1, sampling_rate=8000,
+                               max_block_size=256)
+            data = native.encode(pcm, cfg)
+            assert data == jax_encode(pcm, cfg)
+            _, out = native.decode(data)
+            _, out_j = jax_decode(data, engine="scan")
+            np.testing.assert_array_equal(out, np.asarray(out_j))
+
+
+class TestErrors:
+    def test_truncated(self):
+        with pytest.raises(InsufficientDataError):
+            native.decode(b"AAD\x00123")
+
+    def test_bad_magic(self):
+        with pytest.raises(InvalidFormatError):
+            native.decode(b"X" * 64)
+
+    def test_bad_config(self):
+        with pytest.raises(InvalidFormatError):
+            native.encode(
+                np.zeros((1, 100), np.int32),
+                EncodeConfig(num_channels=1, sampling_rate=8000,
+                             bits_per_sample=3, max_block_size=4),
+            )
