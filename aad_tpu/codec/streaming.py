@@ -1,0 +1,224 @@
+"""Streaming codec: chunked encode/decode with bit-exact state carry.
+
+The encoder-side streaming state the reference carries implicitly across
+``EncodeBlock`` calls (processor state chained at src/aad_encoder.c:870,
+trial search reading the previous block at :502-512) is made explicit here:
+
+    StreamingEncoder.push(pcm_chunk) -> payload bytes for completed blocks
+    StreamingEncoder.finish()        -> tail payload bytes
+    StreamingEncoder.header()        -> 31-byte header (after finish)
+
+Chunk boundaries are arbitrary; the emitted byte stream is identical to a
+one-shot encode of the concatenated input (pinned by tests). Decoding side,
+block self-containedness makes streaming trivial: any whole blocks in the
+buffer decode immediately.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..constants import CH_PROCESS_MS, FILTER_ORDER
+from ..format import framing
+from ..format.geometry import encoded_block_bytes
+from ..format.header import HeaderInfo, decode_header, encode_header, validate_header
+from ..ops.encode import encode_stream_blocks_carry, lr_to_ms
+from .encoder import EncodeConfig
+from .result import InvalidArgumentError
+
+
+class StreamingEncoder:
+    """Chunked encoder with bit-exact predictor-state carryover."""
+
+    def __init__(self, config: EncodeConfig):
+        config.validate()
+        self.config = config
+        self.geometry = config.geometry()
+        self._buffer = np.empty((config.num_channels, 0), dtype=np.int32)
+        self._carry = None
+        self._blocks_done = 0
+        self._samples_done = 0
+        self._finished = False
+
+    def push(self, pcm: np.ndarray) -> bytes:
+        """Feed (C, n) samples; returns payload bytes of completed blocks.
+
+        Only whole blocks are emitted; the remainder is buffered. The final
+        (possibly short) block is emitted by :meth:`finish`.
+        """
+        if self._finished:
+            raise InvalidArgumentError("encoder already finished")
+        pcm = np.asarray(pcm, dtype=np.int32)
+        if pcm.ndim != 2 or pcm.shape[0] != self.config.num_channels:
+            raise InvalidArgumentError(
+                f"chunk must be ({self.config.num_channels}, n)"
+            )
+        self._buffer = np.concatenate([self._buffer, pcm], axis=1)
+        nspb = self.geometry.num_samples_per_block
+        whole = self._buffer.shape[1] // nspb
+        if whole == 0:
+            return b""
+        head = self._buffer[:, : whole * nspb]
+        self._buffer = self._buffer[:, whole * nspb :]
+        return self._encode_blocks(head, full_blocks=True)
+
+    def finish(self) -> bytes:
+        """Flush the buffered tail; further pushes are rejected."""
+        if self._finished:
+            return b""
+        self._finished = True
+        if self._buffer.shape[1] == 0:
+            return b""
+        tail = self._buffer
+        self._buffer = np.empty((self.config.num_channels, 0), dtype=np.int32)
+        return self._encode_blocks(tail, full_blocks=False)
+
+    def header(self) -> bytes:
+        """The 31-byte stream header for everything encoded so far."""
+        return encode_header(self.config.header_for(self._samples_done))
+
+    @property
+    def num_samples(self) -> int:
+        return self._samples_done
+
+    def _encode_blocks(self, pcm: np.ndarray, full_blocks: bool) -> bytes:
+        geo = self.geometry
+        nspb = geo.num_samples_per_block
+        n = pcm.shape[1]
+        nblocks = -(-n // nspb)
+        padded = np.zeros((pcm.shape[0], nblocks * nspb), dtype=np.int32)
+        padded[:, :n] = pcm
+        blocks = np.ascontiguousarray(
+            np.swapaxes(padded.reshape(pcm.shape[0], nblocks, nspb), 0, 1)
+        )
+        valid = np.minimum(
+            np.full(nblocks, nspb, dtype=np.int64),
+            n - np.arange(nblocks, dtype=np.int64) * nspb,
+        ).astype(np.int32)
+
+        jb = jnp.asarray(blocks)
+        if self.config.ch_process_method == CH_PROCESS_MS:
+            jb = lr_to_ms(jb)
+        headers, codes, carry = encode_stream_blocks_carry(
+            jb,
+            jnp.asarray(valid),
+            self.config.bits_per_sample,
+            self.config.num_encode_trials,
+            carry=self._carry,
+            blocks_before=self._blocks_done,
+        )
+        self._carry = carry
+        self._blocks_done += nblocks
+        self._samples_done += n
+
+        states = framing.BlockStates(
+            step_index=np.asarray(headers.step_index),
+            weight=np.asarray(headers.weight),
+            history=np.asarray(headers.history),
+        )
+        hdr_bytes = framing.build_block_headers(
+            states, np.asarray(headers.shift), geo
+        )
+        data = framing.pack_codes(np.asarray(codes), geo)
+        full = np.concatenate([hdr_bytes, data], axis=-1)  # (B, block_size)
+        if full_blocks:
+            return full.reshape(-1).tobytes()
+        tail_bytes = encoded_block_bytes(geo, int(valid[-1]))
+        parts = [full[:-1].reshape(-1), full[-1, :tail_bytes]]
+        return np.concatenate(parts).tobytes()
+
+
+class StreamingDecoder:
+    """Push-based decoder: emits samples as soon as whole blocks arrive.
+
+    Exploits block self-containedness (reference: src/aad_decoder.c:363-380)
+    — each pushed span of complete blocks decodes independently, so latency
+    is one block regardless of stream length.
+    """
+
+    def __init__(self, engine: str = "auto"):
+        from .decoder import Decoder
+
+        self._decoder_cls = Decoder
+        self._engine = engine
+        self._buffer = b""
+        self._decoder = None
+        self._samples_out = 0
+
+    @property
+    def header(self) -> HeaderInfo | None:
+        return self._decoder.header if self._decoder else None
+
+    def push(self, data: bytes) -> np.ndarray:
+        """Feed stream bytes; returns (C, n) decoded samples (n may be 0)."""
+        self._buffer += bytes(data)
+        if self._decoder is None:
+            from ..constants import FILE_HEADER_SIZE
+
+            if len(self._buffer) < FILE_HEADER_SIZE:
+                return self._empty()
+            header = decode_header(self._buffer[:FILE_HEADER_SIZE])
+            validate_header(header)
+            self._decoder = self._decoder_cls.from_header(
+                header, engine=self._engine
+            )
+            self._buffer = self._buffer[FILE_HEADER_SIZE:]
+
+        dec = self._decoder
+        h = dec.header
+        geo = dec.geometry
+        nspb = h.num_samples_per_block
+        remaining_samples = h.num_samples - self._samples_out
+        if remaining_samples <= 0:
+            return self._empty()
+
+        # Collect every decodable block in the buffer (the stream's final
+        # block may be shorter on the wire), then decode them as one batch.
+        block_rows = []
+        valids = []
+        while remaining_samples > 0:
+            is_last = remaining_samples <= nspb
+            valid = min(nspb, remaining_samples)
+            need = (
+                encoded_block_bytes(geo, valid) if is_last else geo.block_size
+            )
+            if len(self._buffer) < need:
+                break
+            row = np.zeros(geo.block_size, dtype=np.uint8)
+            row[:need] = np.frombuffer(self._buffer[:need], dtype=np.uint8)
+            self._buffer = self._buffer[need:]
+            block_rows.append(row)
+            valids.append(valid)
+            self._samples_out += valid
+            remaining_samples -= valid
+
+        if not block_rows:
+            return self._empty()
+
+        from ..ops.decode import decode_blocks, ms_to_lr
+
+        blocks = np.stack(block_rows)  # (B, block_size)
+        states = framing.parse_block_headers(blocks, geo)
+        codes = framing.unpack_codes(
+            blocks[:, geo.header_bytes : geo.header_bytes + geo.data_bytes], geo
+        )
+        samples = decode_blocks(
+            jnp.asarray(codes),
+            jnp.asarray(states.step_index),
+            jnp.asarray(states.weight),
+            jnp.asarray(states.history),
+            bits_per_sample=h.bits_per_sample,
+            engine=dec.engine,
+        )
+        if h.ch_process_method == CH_PROCESS_MS:
+            samples = ms_to_lr(samples)
+        samples = np.asarray(samples)  # (B, C, 4 + T)
+        out = [s[:, :v] for s, v in zip(samples, valids)]
+        return np.concatenate(out, axis=1)
+
+    def _empty(self) -> np.ndarray:
+        # Channel count is unknown until the header has arrived.
+        nch = self._decoder.header.num_channels if self._decoder else 0
+        return np.empty((nch, 0), dtype=np.int32)

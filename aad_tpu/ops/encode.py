@@ -191,18 +191,54 @@ def encode_stream_blocks(
     valid: Array,
     bits_per_sample: int,
     num_trials: int,
+    *,
+    carry: tuple[CodecState, Array] | None = None,
+    blocks_before: int = 0,
 ) -> tuple[BlockHeaderFields, Array]:
-    """Encode a whole stream of blocks sequentially.
+    """Encode a stream of blocks sequentially.
 
     Args:
       blocks: (B, C, nspb) int32 zero-padded input (MS already applied).
       valid:  (B,) int32 valid sample counts.
+      carry: optional (state, prev_block) from a previous chunk — the
+        streaming continuation point. ``prev_block`` is the (C, nspb)
+        transformed samples of the block immediately before this chunk.
+      blocks_before: number of blocks already encoded (streaming); the trial
+        search warms up on the previous block only from the stream's second
+        block onward (reference: src/aad_encoder.c:503).
     Returns:
-      (header fields (B, ...), codes (B, C, T) int32).
+      (header fields (B, ...), codes (B, C, T) int32). Use
+      :func:`encode_stream_blocks_carry` to also receive the carry-out.
     """
+    headers, codes, _ = encode_stream_blocks_carry(
+        blocks,
+        valid,
+        bits_per_sample,
+        num_trials,
+        carry=carry,
+        blocks_before=blocks_before,
+    )
+    return headers, codes
+
+
+def encode_stream_blocks_carry(
+    blocks: Array,
+    valid: Array,
+    bits_per_sample: int,
+    num_trials: int,
+    *,
+    carry: tuple[CodecState, Array] | None = None,
+    blocks_before: int = 0,
+):
+    """As :func:`encode_stream_blocks`, returning (headers, codes, carry')."""
     B, C, nspb = blocks.shape
-    prev_blocks = jnp.concatenate([jnp.zeros_like(blocks[:1]), blocks[:-1]], axis=0)
-    has_prev = jnp.arange(B) >= 1
+    if carry is None:
+        init_state = CodecState.zeros((C,))
+        prev0 = jnp.zeros_like(blocks[0])
+    else:
+        init_state, prev0 = carry
+    prev_blocks = jnp.concatenate([prev0[None], blocks[:-1]], axis=0)
+    has_prev = jnp.arange(B) + blocks_before >= 1
 
     def block_step(state: CodecState, xs):
         cur, prev, hp, v = xs
@@ -221,11 +257,10 @@ def encode_stream_blocks(
         state, codes = encode_block_codes(state, cur, bits_per_sample)
         return state, (hdr, codes)
 
-    init = CodecState.zeros((C,))
-    _, (headers, codes) = lax.scan(
-        block_step, init, (blocks, prev_blocks, has_prev, valid)
+    final_state, (headers, codes) = lax.scan(
+        block_step, init_state, (blocks, prev_blocks, has_prev, valid)
     )
-    return headers, codes
+    return headers, codes, (final_state, blocks[-1])
 
 
 def lr_to_ms(pcm: Array) -> Array:

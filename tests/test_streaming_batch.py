@@ -1,0 +1,113 @@
+"""Streaming codec and batch decode tests.
+
+The streaming contract: chunked encode/decode is byte-/sample-identical to
+one-shot, for arbitrary chunk boundaries (BASELINE config: "streaming
+chunked encode with bit-exact predictor state carryover").
+"""
+
+import numpy as np
+import pytest
+
+from aad_tpu.codec.batch import decode_batch
+from aad_tpu.codec.decoder import decode
+from aad_tpu.codec.encoder import EncodeConfig, encode
+from aad_tpu.codec.streaming import StreamingDecoder, StreamingEncoder
+
+from util import noise, sine
+
+
+def _one_shot(pcm, **kw):
+    cfg = EncodeConfig(num_channels=pcm.shape[0], sampling_rate=16000, **kw)
+    return encode(pcm, cfg), cfg
+
+
+class TestStreamingEncoder:
+    @pytest.mark.parametrize(
+        "chunks", [[700, 700, 700, 400], [2500], [100] * 25, [1, 2499], [2499, 1]]
+    )
+    def test_chunking_is_invisible(self, chunks):
+        assert sum(chunks) == 2500
+        pcm = noise(2500, 1, seed=5)
+        whole, cfg = _one_shot(pcm, max_block_size=256)
+
+        enc = StreamingEncoder(cfg)
+        payload = b""
+        off = 0
+        for n in chunks:
+            payload += enc.push(pcm[:, off : off + n])
+            off += n
+        payload += enc.finish()
+        assert enc.header() + payload == whole
+
+    def test_stereo_ms_with_trials(self):
+        pcm = noise(3000, 2, seed=6)
+        pcm[1] = sine(3000, 1)[0]
+        whole, cfg = _one_shot(
+            pcm, max_block_size=128, ch_process_method=1, num_encode_trials=2
+        )
+        enc = StreamingEncoder(cfg)
+        payload = enc.push(pcm[:, :1000])
+        payload += enc.push(pcm[:, 1000:2200])
+        payload += enc.push(pcm[:, 2200:])
+        payload += enc.finish()
+        assert enc.header() + payload == whole
+
+    def test_push_after_finish_rejected(self):
+        from aad_tpu.codec.result import InvalidArgumentError
+
+        enc = StreamingEncoder(EncodeConfig(num_channels=1, sampling_rate=8000))
+        enc.finish()
+        with pytest.raises(InvalidArgumentError):
+            enc.push(np.zeros((1, 10), np.int32))
+
+
+class TestStreamingDecoder:
+    @pytest.mark.parametrize("feed", [1, 7, 64, 100000])
+    def test_byte_dribble(self, feed):
+        pcm = noise(2000, 2, seed=7)
+        data, _ = _one_shot(pcm, max_block_size=128)
+        _, whole = decode(data, engine="scan")
+
+        dec = StreamingDecoder(engine="scan")
+        outs = []
+        for off in range(0, len(data), feed):
+            out = dec.push(data[off : off + feed])
+            if out.size:
+                outs.append(out)
+        got = np.concatenate(outs, axis=1)
+        np.testing.assert_array_equal(got, np.asarray(whole))
+        assert dec.header.num_samples == 2000
+
+    def test_header_only_tail_block(self):
+        from aad_tpu.format.geometry import compute_block_geometry
+
+        geo = compute_block_geometry(256, 1, 4)
+        n = geo.num_samples_per_block + 2  # 2-sample tail: header-only block
+        pcm = sine(n, 1)
+        data, _ = _one_shot(pcm, max_block_size=256)
+        dec = StreamingDecoder(engine="scan")
+        got = dec.push(data)
+        _, whole = decode(data, engine="scan")
+        np.testing.assert_array_equal(got, np.asarray(whole))
+
+
+class TestBatchDecode:
+    def test_heterogeneous_pile(self):
+        streams = []
+        expected = []
+        specs = [
+            (noise(1500, 1, seed=1), dict(max_block_size=128, bits_per_sample=4)),
+            (noise(2300, 2, seed=2), dict(max_block_size=256, bits_per_sample=3)),
+            (sine(900, 2), dict(max_block_size=64, bits_per_sample=2,
+                                ch_process_method=1)),
+            (sine(512, 1), dict(max_block_size=1024, bits_per_sample=4)),
+        ]
+        for pcm, kw in specs:
+            data, _ = _one_shot(pcm, **kw)
+            streams.append(data)
+            expected.append(np.asarray(decode(data, engine="scan")[1]))
+
+        results = decode_batch(streams, engine="scan")
+        assert len(results) == len(streams)
+        for (h, pcm), exp in zip(results, expected):
+            np.testing.assert_array_equal(pcm, exp)
