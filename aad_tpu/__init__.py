@@ -42,6 +42,10 @@ from .format.geometry import (
 )
 from .format.header import HeaderInfo, decode_header, encode_header, validate_header
 from .codec.decoder import Decoder, decode
+from .codec.encoder import EncodeConfig, Encoder, encode
+from .codec.streaming import StreamingDecoder, StreamingEncoder
+from .codec.batch import decode_batch
+from . import native
 
 __version__ = "0.1.0"
 
@@ -64,11 +68,18 @@ __all__ = [
     "MAX_BITS_PER_SAMPLE",
     "MAX_NUM_CHANNELS",
     "MIN_BITS_PER_SAMPLE",
+    "EncodeConfig",
+    "Encoder",
+    "StreamingDecoder",
+    "StreamingEncoder",
     "calculate_block_size",
     "compute_block_geometry",
     "decode",
+    "decode_batch",
     "decode_header",
+    "encode",
     "encode_header",
     "geometry_from_header",
+    "native",
     "validate_header",
 ]

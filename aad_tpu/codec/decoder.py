@@ -134,7 +134,12 @@ class Decoder:
 
     def frame(self, payload: np.ndarray) -> FramedStream:
         """Host-side framing of the post-header payload bytes."""
-        return frame_stream(payload, self.header, self.geometry)
+        framed = frame_stream(payload, self.header, self.geometry)
+        from ..utils import debug
+
+        if debug.enabled():
+            debug.check_framed_stream(framed.states, framed.codes, self.geometry)
+        return framed
 
     def decode_framed(self, framed: FramedStream) -> jax.Array:
         """Decode a pre-framed stream; returns (C, num_samples) int32."""

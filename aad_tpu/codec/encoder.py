@@ -139,6 +139,10 @@ class Encoder:
             raise InvalidArgumentError(
                 f"pcm must be ({cfg.num_channels}, N); got {pcm.shape}"
             )
+        from ..utils import debug
+
+        if debug.enabled():
+            debug.check_pcm_range(pcm)
         num_samples = pcm.shape[1]
         # header_for -> encode_header re-validates, applying the reference's
         # stricter header-time checks (num_samples > 0, bps >= 2).
