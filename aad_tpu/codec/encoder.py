@@ -89,19 +89,35 @@ class EncodeConfig:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bits_per_sample", "num_trials", "ms")
+    jax.jit, static_argnames=("bits_per_sample", "num_trials", "ms", "engine")
 )
-def _encode_device(blocks, valid, *, bits_per_sample: int, num_trials: int, ms: bool):
+def _encode_device(
+    blocks, valid, *, bits_per_sample: int, num_trials: int, ms: bool, engine: str
+):
     """Device side: (B, C, nspb) padded PCM -> header fields + codes."""
     if ms:
-        B, C, nspb = blocks.shape
-        flat = blocks.reshape(B, C, nspb)
         # LR->MS is per-sample and maps padding zeros to zeros, so applying it
         # to the whole padded signal equals the reference's per-block
         # transform (reference: src/aad_encoder.c:596-603, 496-512).
-        flat = lr_to_ms(flat)
-        blocks = flat
-    return encode_stream_blocks(blocks, valid, bits_per_sample, num_trials)
+        blocks = lr_to_ms(blocks)
+    return encode_stream_blocks(
+        blocks, valid, bits_per_sample, num_trials, engine=engine
+    )
+
+
+def resolve_encode_engine(engine: str = "auto") -> str:
+    """Resolve/warm the encode engine (Pallas on TPU, lax.scan elsewhere)."""
+    if engine == "auto":
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:  # pragma: no cover
+            on_tpu = False
+        engine = "pallas" if on_tpu else "scan"
+    if engine == "pallas":
+        from ..ops.pallas_decode import warm_fused_engine
+
+        warm_fused_engine()
+    return engine
 
 
 def _pad_to_blocks(pcm: np.ndarray, geo: BlockGeometry) -> tuple[np.ndarray, np.ndarray, int]:
@@ -125,11 +141,16 @@ class Encoder:
 
     config: EncodeConfig
     geometry: BlockGeometry
+    engine: str = "auto"
 
     @classmethod
-    def from_config(cls, config: EncodeConfig) -> "Encoder":
+    def from_config(cls, config: EncodeConfig, engine: str = "auto") -> "Encoder":
         config.validate()
-        return cls(config=config, geometry=config.geometry())
+        return cls(
+            config=config,
+            geometry=config.geometry(),
+            engine=resolve_encode_engine(engine),
+        )
 
     def encode(self, pcm: np.ndarray) -> bytes:
         """Encode (C, N) int32 PCM (int16-valued) into a complete .aad stream."""
@@ -156,6 +177,7 @@ class Encoder:
             bits_per_sample=cfg.bits_per_sample,
             num_trials=cfg.num_encode_trials,
             ms=cfg.ch_process_method == CH_PROCESS_MS,
+            engine=self.engine if self.engine != "auto" else resolve_encode_engine(),
         )
 
         states = BlockStates(

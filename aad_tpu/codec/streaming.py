@@ -32,10 +32,13 @@ from .result import InvalidArgumentError
 class StreamingEncoder:
     """Chunked encoder with bit-exact predictor-state carryover."""
 
-    def __init__(self, config: EncodeConfig):
+    def __init__(self, config: EncodeConfig, engine: str = "auto"):
+        from .encoder import resolve_encode_engine
+
         config.validate()
         self.config = config
         self.geometry = config.geometry()
+        self.engine = resolve_encode_engine(engine)
         self._buffer = np.empty((config.num_channels, 0), dtype=np.int32)
         self._carry = None
         self._blocks_done = 0
@@ -108,6 +111,7 @@ class StreamingEncoder:
             self.config.num_encode_trials,
             carry=self._carry,
             blocks_before=self._blocks_done,
+            engine=self.engine,
         )
         self._carry = carry
         self._blocks_done += nblocks

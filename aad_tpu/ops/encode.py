@@ -66,8 +66,42 @@ def _seed_from_block(state: CodecState, block: Array) -> CodecState:
     return state._replace(history=head[..., ::-1])
 
 
+def _encode_span(
+    state: CodecState, block: Array, valid: Array, bits_per_sample: int, engine: str
+):
+    """Run the encode recurrence over a block's sample slots with lax.scan,
+    freezing state/sse at ``valid`` samples. (The Pallas engine has its own
+    whole-stream driver, :func:`encode_stream_blocks_pallas`, which keeps
+    samples in the kernel tile layout across all trial passes.)
+
+    Returns (state', codes (..., T), sse limbs).
+    """
+    del engine  # only the scan engine flows through here
+    lane_shape = state.step_index.shape
+    samples_t = jnp.moveaxis(block[..., FILTER_ORDER:], -1, 0)  # (T, ...)
+    T = samples_t.shape[0]
+    steps = jnp.arange(T, dtype=jnp.int32)
+
+    def step(carry, xs):
+        st, sse = carry
+        sample, t = xs
+        new_st, code, qdiff = encode_sample(st, sample, bits_per_sample)
+        active = t < (valid - FILTER_ORDER)
+        st2 = _select_state(jnp.broadcast_to(active, lane_shape), new_st, st)
+        contrib = jnp.where(active, cs.square_u32(qdiff), jnp.uint32(0))
+        return (st2, cs.u64_add_u32(sse, contrib)), code
+
+    init = (state, cs.u64_zero(lane_shape))
+    (final_state, sse), codes_t = lax.scan(step, init, (samples_t, steps))
+    return final_state, jnp.moveaxis(codes_t, 0, -1), sse
+
+
 def measure_block(
-    state: CodecState, block: Array, valid: Array, bits_per_sample: int
+    state: CodecState,
+    block: Array,
+    valid: Array,
+    bits_per_sample: int,
+    engine: str = "scan",
 ) -> tuple[CodecState, tuple[Array, Array]]:
     """Trial-encode a block and accumulate squared quantisation error.
 
@@ -78,34 +112,20 @@ def measure_block(
     error (the reference's early return).
 
     Args:
-      state: (C,) lanes of codec state.
-      block: (C, nspb) int32 zero-padded samples.
-      valid: scalar int32 — valid samples in this block.
+      state: (...,) lanes of codec state.
+      block: (..., nspb) int32 zero-padded samples.
+      valid: scalar or (...) int32 — valid samples in this block.
     Returns:
-      (state', (sse_hi, sse_lo)) with sse limbs shaped (C,).
+      (state', (sse_hi, sse_lo)) with sse limbs shaped (...,).
     """
-    nch = block.shape[-2]
-    T = block.shape[-1] - FILTER_ORDER
+    lane_shape = state.step_index.shape
     seeded = _seed_from_block(state, block)
-
-    samples_t = jnp.moveaxis(block[..., FILTER_ORDER:], -1, 0)  # (T, C)
-    steps = jnp.arange(T, dtype=jnp.int32)
-
-    def step(carry, xs):
-        st, sse = carry
-        sample, t = xs
-        new_st, _code, qdiff = encode_sample(st, sample, bits_per_sample)
-        active = t < (valid - FILTER_ORDER)
-        st2 = _select_state(jnp.broadcast_to(active, st.step_index.shape), new_st, st)
-        contrib = jnp.where(active, cs.square_u32(qdiff), jnp.uint32(0))
-        return (st2, cs.u64_add_u32(sse, contrib)), None
-
-    init = (seeded, cs.u64_zero((nch,)))
-    (final_state, sse), _ = lax.scan(step, init, (samples_t, steps))
-
-    skip = valid < FILTER_ORDER
-    out_state = _select_state(jnp.broadcast_to(skip, state.step_index.shape), state, final_state)
-    out_sse = cs.u64_select(skip, cs.u64_zero((nch,)), sse)
+    final_state, _codes, sse = _encode_span(
+        seeded, block, valid, bits_per_sample, engine
+    )
+    skip = jnp.broadcast_to(valid < FILTER_ORDER, lane_shape)
+    out_state = _select_state(skip, state, final_state)
+    out_sse = cs.u64_select(skip, cs.u64_zero(lane_shape), sse)
     return out_state, out_sse
 
 
@@ -117,6 +137,7 @@ def search_best_state(
     valid: Array,
     bits_per_sample: int,
     num_trials: int,
+    engine: str = "scan",
 ) -> CodecState:
     """Trial search for the lowest-RMSE starting state, per channel.
 
@@ -125,17 +146,17 @@ def search_best_state(
     (reference: src/aad_encoder.c:470-562).
     """
     # Baseline: the incoming state measured as-is (state change discarded).
-    _, min_sse = measure_block(state, cur_block, valid, bits_per_sample)
+    _, min_sse = measure_block(state, cur_block, valid, bits_per_sample, engine)
     best = state
     tmp = state
 
     for _ in range(num_trials):
         # Warm up on the previous block when one exists (full-length).
         nspb_full = jnp.asarray(cur_block.shape[-1], dtype=jnp.int32)
-        warmed, _ = measure_block(tmp, prev_block, nspb_full, bits_per_sample)
+        warmed, _ = measure_block(tmp, prev_block, nspb_full, bits_per_sample, engine)
         tmp = _select_state(jnp.broadcast_to(has_prev, tmp.step_index.shape), warmed, tmp)
         candidate = tmp
-        tmp, sse = measure_block(tmp, cur_block, valid, bits_per_sample)
+        tmp, sse = measure_block(tmp, cur_block, valid, bits_per_sample, engine)
         better = cs.u64_less(sse, min_sse)
         best = _select_state(better, candidate, best)
         min_sse = cs.u64_select(better, sse, min_sse)
@@ -161,7 +182,7 @@ def round_weights(state: CodecState) -> tuple[CodecState, Array]:
 
 
 def encode_block_codes(
-    state: CodecState, block: Array, bits_per_sample: int
+    state: CodecState, block: Array, bits_per_sample: int, engine: str = "scan"
 ) -> tuple[CodecState, Array]:
     """Encode one (zero-padded) block's data section.
 
@@ -171,19 +192,16 @@ def encode_block_codes(
     stream assembler drops the units past the final one).
 
     Args:
-      state: (C,) lanes (history already seeded, weights rounded).
-      block: (C, nspb) int32.
+      state: (...,) lanes (history already seeded, weights rounded).
+      block: (..., nspb) int32.
     Returns:
-      (state', codes (C, T) int32).
+      (state', codes (..., T) int32).
     """
-    samples_t = jnp.moveaxis(block[..., FILTER_ORDER:], -1, 0)  # (T, C)
-
-    def step(st, sample):
-        new_st, code, _ = encode_sample(st, sample, bits_per_sample)
-        return new_st, code
-
-    final_state, codes_t = lax.scan(step, state, samples_t)
-    return final_state, jnp.moveaxis(codes_t, 0, -1)
+    nspb = jnp.asarray(block.shape[-1], dtype=jnp.int32)
+    final_state, codes, _sse = _encode_span(
+        state, block, nspb, bits_per_sample, engine
+    )
+    return final_state, codes
 
 
 def encode_stream_blocks(
@@ -193,7 +211,8 @@ def encode_stream_blocks(
     num_trials: int,
     *,
     carry: tuple[CodecState, Array] | None = None,
-    blocks_before: int = 0,
+    blocks_before: int | Array = 0,
+    engine: str = "scan",
 ) -> tuple[BlockHeaderFields, Array]:
     """Encode a stream of blocks sequentially.
 
@@ -217,6 +236,7 @@ def encode_stream_blocks(
         num_trials,
         carry=carry,
         blocks_before=blocks_before,
+        engine=engine,
     )
     return headers, codes
 
@@ -228,23 +248,35 @@ def encode_stream_blocks_carry(
     num_trials: int,
     *,
     carry: tuple[CodecState, Array] | None = None,
-    blocks_before: int = 0,
+    blocks_before: int | Array = 0,
+    engine: str = "scan",
 ):
-    """As :func:`encode_stream_blocks`, returning (headers, codes, carry')."""
-    B, C, nspb = blocks.shape
+    """As :func:`encode_stream_blocks`, returning (headers, codes, carry').
+
+    ``blocks`` may carry extra leading lane axes, e.g. (B, S, C, nspb) for a
+    lockstep stream batch — the Pallas engine folds all lane axes onto the
+    VPU. ``valid`` broadcasts over the lane axes.
+    """
+    if engine == "pallas":
+        return encode_stream_blocks_pallas(
+            blocks, valid, bits_per_sample, num_trials,
+            carry=carry, blocks_before=blocks_before,
+        )
+
+    B, *lane_axes, nspb = blocks.shape
     if carry is None:
-        init_state = CodecState.zeros((C,))
+        init_state = CodecState.zeros(tuple(lane_axes))
         prev0 = jnp.zeros_like(blocks[0])
     else:
         init_state, prev0 = carry
     prev_blocks = jnp.concatenate([prev0[None], blocks[:-1]], axis=0)
-    has_prev = jnp.arange(B) + blocks_before >= 1
+    has_prev = jnp.arange(B) + jnp.asarray(blocks_before, jnp.int32) >= 1
 
     def block_step(state: CodecState, xs):
         cur, prev, hp, v = xs
         if num_trials > 0:
             state = search_best_state(
-                state, cur, prev, hp, v, bits_per_sample, num_trials
+                state, cur, prev, hp, v, bits_per_sample, num_trials, engine
             )
         state = _seed_from_block(state, cur)
         state, shift = round_weights(state)
@@ -254,13 +286,149 @@ def encode_stream_blocks_carry(
             weight=state.weight,
             history=state.history,
         )
-        state, codes = encode_block_codes(state, cur, bits_per_sample)
+        state, codes = encode_block_codes(state, cur, bits_per_sample, engine)
         return state, (hdr, codes)
 
     final_state, (headers, codes) = lax.scan(
         block_step, init_state, (blocks, prev_blocks, has_prev, valid)
     )
     return headers, codes, (final_state, blocks[-1])
+
+
+def encode_stream_blocks_pallas(
+    blocks: Array,
+    valid: Array,
+    bits_per_sample: int,
+    num_trials: int,
+    *,
+    carry: tuple[CodecState, Array] | None = None,
+    blocks_before: int | Array = 0,
+):
+    """Pallas-engined sequential block encode.
+
+    Layout strategy: every block's sample slots are converted to the
+    kernel's time-major tile layout **once** up front (the trial search
+    touches each block up to six times; re-transposing per pass dominated
+    the runtime otherwise). States flow flat (L,) between kernel calls;
+    measure passes skip the code output entirely.
+    """
+    from .pallas_decode import warm_fused_engine
+    from .pallas_encode import encode_scan_tiles, to_timemajor
+
+    # Resolve the step-size correction set now if we are not already inside
+    # a jit trace (memoised for the in-trace uses below).
+    from jax._src import core as _core
+
+    if _core.trace_state_clean():
+        warm_fused_engine()
+
+    B, *lane_axes, nspb = blocks.shape
+    L = 1
+    for d in lane_axes:
+        L *= d
+    T = nspb - FILTER_ORDER
+
+    flat = blocks.reshape(B, L, nspb).astype(jnp.int32)
+    if carry is None:
+        init_state = CodecState.zeros((L,))
+        prev0 = jnp.zeros_like(flat[0])
+    else:
+        init_state, prev0 = carry
+        init_state = CodecState(
+            history=init_state.history.reshape(L, FILTER_ORDER),
+            weight=init_state.weight.reshape(L, FILTER_ORDER),
+            step_index=init_state.step_index.reshape(L),
+        )
+        prev0 = prev0.reshape(L, nspb).astype(jnp.int32)
+
+    # One bulk relayout for all blocks: (B, L, T) -> (B, Tp, tiles, 8, 128)
+    tm = jax.vmap(to_timemajor)(flat[..., FILTER_ORDER:])
+    heads = flat[..., :FILTER_ORDER]  # (B, L, 4)
+    prev_tm0 = to_timemajor(prev0[..., FILTER_ORDER:])
+    prev_head0 = prev0[..., :FILTER_ORDER]
+    prev_tm = jnp.concatenate([prev_tm0[None], tm[:-1]], axis=0)
+    prev_heads = jnp.concatenate([prev_head0[None], heads[:-1]], axis=0)
+    has_prev = jnp.arange(B) + jnp.asarray(blocks_before, jnp.int32) >= 1
+    valid_b = jnp.broadcast_to(jnp.asarray(valid, jnp.int32), (B,))
+    nspb_full = jnp.full((), nspb, dtype=jnp.int32)
+
+    def seed(state: CodecState, head: Array) -> CodecState:
+        return state._replace(history=head[..., ::-1])
+
+    def measure(state: CodecState, block_tm, head, v):
+        seeded = seed(state, head)
+        _, (idx2, h2, w2), sse = encode_scan_tiles(
+            block_tm,
+            seeded.step_index,
+            seeded.history,
+            seeded.weight,
+            jnp.broadcast_to(v, (L,)),
+            bits_per_sample=bits_per_sample,
+            emit_codes=False,
+        )
+        new_state = CodecState(h2, w2, idx2)
+        skip = jnp.broadcast_to(v < FILTER_ORDER, (L,))
+        out_state = _select_state(skip, state, new_state)
+        out_sse = cs.u64_select(skip, cs.u64_zero((L,)), sse)
+        return out_state, out_sse
+
+    def block_step(state: CodecState, xs):
+        cur_tm, cur_head, p_tm, p_head, hp, v = xs
+
+        if num_trials > 0:
+            _, min_sse = measure(state, cur_tm, cur_head, v)
+            best = state
+            tmp = state
+            for _ in range(num_trials):
+                warmed, _ = measure(tmp, p_tm, p_head, nspb_full)
+                tmp = _select_state(jnp.broadcast_to(hp, (L,)), warmed, tmp)
+                candidate = tmp
+                tmp, sse = measure(tmp, cur_tm, cur_head, v)
+                better = cs.u64_less(sse, min_sse)
+                best = _select_state(better, candidate, best)
+                min_sse = cs.u64_select(better, sse, min_sse)
+            state = best
+
+        state = seed(state, cur_head)
+        state, shift = round_weights(state)
+        hdr = BlockHeaderFields(
+            step_index=state.step_index,
+            shift=shift,
+            weight=state.weight,
+            history=state.history,
+        )
+        codes, (idx2, h2, w2), _ = encode_scan_tiles(
+            cur_tm,
+            state.step_index,
+            state.history,
+            state.weight,
+            jnp.full((L,), nspb, dtype=jnp.int32),
+            bits_per_sample=bits_per_sample,
+            emit_codes=True,
+        )
+        return CodecState(h2, w2, idx2), (hdr, codes[:, :T])
+
+    final_state, (headers, codes) = lax.scan(
+        block_step,
+        init_state,
+        (tm, heads, prev_tm, prev_heads, has_prev, valid_b),
+    )
+
+    def unflat(x):
+        return x.reshape(B, *lane_axes, *x.shape[2:])
+
+    headers = BlockHeaderFields(
+        step_index=unflat(headers.step_index),
+        shift=unflat(headers.shift),
+        weight=unflat(headers.weight),
+        history=unflat(headers.history),
+    )
+    out_state = CodecState(
+        history=final_state.history.reshape(*lane_axes, FILTER_ORDER),
+        weight=final_state.weight.reshape(*lane_axes, FILTER_ORDER),
+        step_index=final_state.step_index.reshape(*lane_axes),
+    )
+    return headers, unflat(codes), (out_state, blocks[-1])
 
 
 def lr_to_ms(pcm: Array) -> Array:

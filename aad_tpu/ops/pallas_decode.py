@@ -132,65 +132,109 @@ def _delta_select(mag: jax.Array, bits_per_sample: int) -> jax.Array:
     return jnp.where(mag < 3, low, high)
 
 
-def _make_kernel(bits_per_sample: int, corrections: tuple[tuple[int, int], ...]):
+# Packed-word kernel geometry: 8 code nibbles per input u32 word, 2 int16
+# samples per output u32 word. W_CHUNK words per grid step = 8*W_CHUNK
+# samples. Packing cuts the HBM relayout traffic ~3x and the per-step
+# dynamic VMEM loads/stores 8x/2x, which dominate the kernel's cycle count.
+W_CHUNK = T_CHUNK // 8
+
+
+def _decode_word_step(
+    word, carry, *, bits_per_sample: int, corrections, unroll: int = 8
+):
+    """Decode the 8 code nibbles of one word tile; returns (samples, carry)."""
     signbit = 1 << (bits_per_sample - 1)
     absmask = signbit - 1
     wshift = FIXEDPOINT_DIGITS + LMSFILTER_SHIFT
+    half = jnp.int32(FIXEDPOINT_0_5)
+    lo16 = jnp.int32(INT16_MIN)
+    hi16 = jnp.int32(INT16_MAX)
 
-    def kernel(codes_ref, idx_ref, h_ref, w_ref, out_ref, state):
-        half = jnp.int32(FIXEDPOINT_0_5)
-        lo16 = jnp.int32(INT16_MIN)
-        hi16 = jnp.int32(INT16_MAX)
-        t_chunk = pl.program_id(1)
+    h0, h1, h2, h3, w0, w1, w2, w3, idx = carry
+    outs = []
+    for k in range(unroll):
+        code = (word >> (4 * k)) & 0xF
+        mag = code & absmask
 
-        @pl.when(t_chunk == 0)
+        # step size from the verified formula (+ corrections)
+        slot = (idx + TABLES_FLOAT_0_5) >> TABLES_FLOAT_DIGITS
+        stepsize = _stepsize_f32(slot).astype(jnp.int32)
+        for s, d in corrections:
+            stepsize = stepsize + jnp.where(slot == s, jnp.int32(d), jnp.int32(0))
+
+        # quantised difference (reference: src/aad_decoder.c:284-288)
+        qmag = (stepsize * ((mag << 1) + 1)) >> (bits_per_sample - 1)
+        qdiff = jnp.where((code & signbit) != 0, -qmag, qmag)
+
+        # index adaptation (reference: src/aad_tables.h:31-43)
+        idx = jnp.maximum(
+            jnp.int32(0),
+            jnp.minimum(
+                jnp.int32(STEP_INDEX_MAX),
+                idx + _delta_select(mag, bits_per_sample),
+            ),
+        )
+
+        # LMS reconstruction (reference: src/aad_decoder.c:291-315)
+        pred = (half + h0 * w0 + h1 * w1 + h2 * w2 + h3 * w3) >> FIXEDPOINT_DIGITS
+        s = jnp.maximum(lo16, jnp.minimum(hi16, qdiff + pred))
+        w0 = w0 + ((qdiff * h0 + half) >> wshift)
+        w1 = w1 + ((qdiff * h1 + half) >> wshift)
+        w2 = w2 + ((qdiff * h2 + half) >> wshift)
+        w3 = w3 + ((qdiff * h3 + half) >> wshift)
+        h3, h2, h1, h0 = h2, h1, h0, s
+        outs.append(s)
+    return outs, (h0, h1, h2, h3, w0, w1, w2, w3, idx)
+
+
+def _make_kernel(bits_per_sample: int, corrections: tuple[tuple[int, int], ...]):
+    def kernel(words_ref, idx_ref, h_ref, w_ref, out_ref, state):
+        w_chunk = pl.program_id(1)
+
+        @pl.when(w_chunk == 0)
         def _init():
             for k in range(4):
                 state[k] = h_ref[0, k]
                 state[4 + k] = w_ref[0, k]
             state[8] = idx_ref[0, 0]
 
-        def step(t, carry):
-            h0, h1, h2, h3, w0, w1, w2, w3, idx = carry
-            code = codes_ref[t, 0]
-            mag = code & absmask
-
-            # step size from the verified formula (+ corrections)
-            slot = (idx + TABLES_FLOAT_0_5) >> TABLES_FLOAT_DIGITS
-            step_f = _stepsize_f32(slot)
-            stepsize = step_f.astype(jnp.int32)
-            for s, d in corrections:
-                stepsize = stepsize + jnp.where(slot == s, jnp.int32(d), jnp.int32(0))
-
-            # quantised difference (reference: src/aad_decoder.c:284-288)
-            qmag = (stepsize * ((mag << 1) + 1)) >> (bits_per_sample - 1)
-            qdiff = jnp.where((code & signbit) != 0, -qmag, qmag)
-
-            # index adaptation (reference: src/aad_tables.h:31-43)
-            idx = jnp.maximum(
-                jnp.int32(0),
-                jnp.minimum(jnp.int32(STEP_INDEX_MAX), idx + _delta_select(mag, bits_per_sample)),
+        def word_step(wi, carry):
+            word = words_ref[wi, 0]
+            outs, carry = _decode_word_step(
+                word, carry, bits_per_sample=bits_per_sample,
+                corrections=corrections,
             )
+            # pack pairs of int16-valued samples into output words
+            for j in range(4):
+                lo = outs[2 * j] & jnp.int32(0xFFFF)
+                hi = outs[2 * j + 1] << 16
+                out_ref[wi * 4 + j, 0] = hi | lo
+            return carry
 
-            # LMS reconstruction (reference: src/aad_decoder.c:291-315)
-            pred = (half + h0 * w0 + h1 * w1 + h2 * w2 + h3 * w3) >> FIXEDPOINT_DIGITS
-            s = jnp.maximum(lo16, jnp.minimum(hi16, qdiff + pred))
-            w0 = w0 + ((qdiff * h0 + half) >> wshift)
-            w1 = w1 + ((qdiff * h1 + half) >> wshift)
-            w2 = w2 + ((qdiff * h2 + half) >> wshift)
-            w3 = w3 + ((qdiff * h3 + half) >> wshift)
-            out_ref[t, 0] = s
-            return s, h0, h1, h2, w0, w1, w2, w3, idx
-
-        carry = (
-            state[0], state[1], state[2], state[3],
-            state[4], state[5], state[6], state[7], state[8],
-        )
-        carry = lax.fori_loop(0, T_CHUNK, step, carry)
+        carry = tuple(state[k] for k in range(9))
+        carry = lax.fori_loop(0, W_CHUNK, word_step, carry)
         for k in range(9):
             state[k] = carry[k]
 
     return kernel
+
+
+def pack_code_words(codes: jax.Array) -> jax.Array:
+    """(L, T) codes (<= 4 bits each) -> (L, ceil(T/8)) u32 words, LSB-first."""
+    L, T = codes.shape
+    W = -(-T // 8)
+    c = jnp.pad(codes.astype(jnp.uint32), ((0, 0), (0, W * 8 - T)))
+    c = c.reshape(L, W, 8)
+    shifts = jnp.arange(8, dtype=jnp.uint32) * 4
+    return (c << shifts).sum(axis=-1, dtype=jnp.uint32)
+
+
+def unpack_sample_words(words: jax.Array) -> jax.Array:
+    """(L, W2) u32 (2 x int16 per word, LSB-first) -> (L, 2*W2) int32."""
+    w = lax.bitcast_convert_type(words, jnp.int32)
+    lo = (w << 16) >> 16  # arithmetic: sign-extend the low half
+    hi = w >> 16
+    return jnp.stack([lo, hi], axis=-1).reshape(w.shape[0], -1)
 
 
 def decode_fused(
@@ -234,61 +278,60 @@ def _decode_fused_impl(
     T = codes.shape[-1]
     L = int(np.prod(lane_shape, dtype=np.int64)) if lane_shape else 1
 
-    cd = codes.reshape(L, T).astype(jnp.int32)
+    words = pack_code_words(codes.reshape(L, T))  # (L, W) u32
+    W = words.shape[-1]
     ii = step_index.reshape(L).astype(jnp.int32)
     h = history.reshape(L, 4)
     w = weight.reshape(L, 4)
 
     Lp = -(-L // TILE) * TILE
-    Tp = -(-T // T_CHUNK) * T_CHUNK
-    cd = jnp.pad(cd, ((0, Lp - L), (0, Tp - T)))
+    Wp = -(-W // W_CHUNK) * W_CHUNK
+    words = jnp.pad(words, ((0, Lp - L), (0, Wp - W)))
     ii = jnp.pad(ii, (0, Lp - L))
     h = jnp.pad(h, ((0, Lp - L), (0, 0)))
     w = jnp.pad(w, ((0, Lp - L), (0, 0)))
 
     n_tiles = Lp // TILE
-    cd_t = cd.reshape(n_tiles, SUBLANES, LANES, Tp).transpose(3, 0, 1, 2)
+    words_t = words.reshape(n_tiles, SUBLANES, LANES, Wp).transpose(3, 0, 1, 2)
     ii_t = ii.reshape(n_tiles, 1, SUBLANES, LANES)
     h_t = h.T.reshape(4, n_tiles, SUBLANES, LANES).transpose(1, 0, 2, 3)
     w_t = w.T.reshape(4, n_tiles, SUBLANES, LANES).transpose(1, 0, 2, 3)
 
-    grid = (n_tiles, Tp // T_CHUNK)
+    lane_block = lambda i, j: (i, 0, 0, 0)
+    grid = (n_tiles, Wp // W_CHUNK)
     out = pl.pallas_call(
         _make_kernel(bits_per_sample, corrections),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (T_CHUNK, 1, SUBLANES, LANES),
+                (W_CHUNK, 1, SUBLANES, LANES),
                 lambda i, j: (j, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, 1, SUBLANES, LANES),
-                lambda i, j: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 4, SUBLANES, LANES),
-                lambda i, j: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 4, SUBLANES, LANES),
-                lambda i, j: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((1, 1, SUBLANES, LANES), lane_block,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, SUBLANES, LANES), lane_block,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, SUBLANES, LANES), lane_block,
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (T_CHUNK, 1, SUBLANES, LANES),
+            (W_CHUNK * 4, 1, SUBLANES, LANES),
             lambda i, j: (j, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((Tp, n_tiles, SUBLANES, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(
+            (Wp * 4, n_tiles, SUBLANES, LANES), jnp.int32
+        ),
         scratch_shapes=[pltpu.VMEM((9, SUBLANES, LANES), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(cd_t, ii_t, h_t, w_t)
+    )(words_t, ii_t, h_t, w_t)
 
-    samples = out.transpose(1, 2, 3, 0).reshape(Lp, Tp)[:L, :T]
+    # (Wp*4, tiles, 8, 128) sample-pair words -> (L, 8*Wp) samples
+    packed = out.transpose(1, 2, 3, 0).reshape(Lp, Wp * 4)[:L]
+    samples = unpack_sample_words(
+        lax.bitcast_convert_type(packed, jnp.uint32)
+    )[:, :T]
     return samples.reshape(*lane_shape, T)

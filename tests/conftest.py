@@ -19,10 +19,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 # Some environments install a site hook that programmatically selects an
 # accelerator platform, overriding JAX_PLATFORMS; the config update below
-# wins because it runs after that hook.
+# wins because it runs after that hook. Set AAD_TPU_TEST_PLATFORM=tpu to run
+# the hardware suites (tests/test_engines_tpu.py) on a real chip instead.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("AAD_TPU_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,69 @@
+"""Pallas encode engine equivalence (TPU hardware only).
+
+Run with AAD_TPU_TEST_PLATFORM=tpu on a TPU host.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+requires_tpu = pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu", reason="needs TPU hardware"
+)
+
+
+@requires_tpu
+class TestPallasEncode:
+    @pytest.mark.parametrize("bps", [2, 3, 4])
+    def test_matches_scan_with_trials_and_ragged_tail(self, bps):
+        from aad_tpu.ops.encode import encode_stream_blocks
+
+        rng = np.random.default_rng(0)
+        B, C, nspb = 4, 2, 252
+        n = B * C * nspb
+        sig = (9000 * np.sin(np.arange(n) / 17)
+               + rng.integers(-2000, 2000, n)).astype(np.int32)
+        blocks = jnp.asarray(sig.reshape(B, C, nspb))
+        valid = np.full(B, nspb, dtype=np.int32)
+        valid[-1] = nspb - 9
+        jv = jnp.asarray(valid)
+        h_s, c_s = encode_stream_blocks(blocks, jv, bps, 2, engine="scan")
+        h_p, c_p = encode_stream_blocks(blocks, jv, bps, 2, engine="pallas")
+        np.testing.assert_array_equal(np.asarray(c_s), np.asarray(c_p))
+        for a, b in zip(h_s, h_p):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_full_encoder_golden_fixture(self, fixture_dir):
+        """Device Pallas encode of the mono fixture == checked-in golden."""
+        from aad_tpu.codec.encoder import EncodeConfig, Encoder
+        from aad_tpu.format.wav import read_wav
+
+        fmt, pcm32 = read_wav(str(fixture_dir / "sin300Hz_mono.wav"))
+        pcm = (pcm32 >> 16).astype(np.int32)
+        enc = Encoder.from_config(
+            EncodeConfig(num_channels=1, sampling_rate=fmt.sampling_rate),
+            engine="pallas",
+        )
+        assert enc.encode(pcm) == (fixture_dir / "sin300Hz_mono.aad").read_bytes()
+
+    def test_stream_batch_lanes(self):
+        """Lockstep multi-stream lanes encode identically to per-stream."""
+        from aad_tpu.ops.encode import encode_stream_blocks
+
+        rng = np.random.default_rng(1)
+        S, B, C, nspb = 3, 3, 2, 124
+        blocks = jnp.asarray(
+            rng.integers(-20000, 20000, (B, S, C, nspb)).astype(np.int32)
+        )
+        valid = jnp.full(B, nspb, dtype=jnp.int32)
+        h_all, c_all = encode_stream_blocks(blocks, valid, 4, 1, engine="pallas")
+        for s in range(S):
+            h_one, c_one = encode_stream_blocks(
+                blocks[:, s], valid, 4, 1, engine="scan"
+            )
+            np.testing.assert_array_equal(np.asarray(c_all[:, s]), np.asarray(c_one))
+            np.testing.assert_array_equal(
+                np.asarray(h_all.step_index[:, s]), np.asarray(h_one.step_index)
+            )
