@@ -82,17 +82,25 @@ def _device_pipeline(
     states = parse_block_headers(blocks, geo)
     data = blocks[:, geo.header_bytes : geo.header_bytes + geo.data_bytes]
     codes = unpack_codes(data, geo)
+    # Channel-major lane order: transposing (B, C, ...) -> (C, B, ...) here
+    # moves whole contiguous rows (cheap); the final (C, B, S) -> (C, B*S)
+    # flatten is then a free reshape instead of a 4-byte-granular relayout.
     samples = decode_blocks(
-        codes,
-        states.step_index,
-        states.weight,
-        states.history,
+        jnp.swapaxes(codes, 0, 1),
+        jnp.swapaxes(states.step_index, 0, 1),
+        jnp.swapaxes(states.weight, 0, 1),
+        jnp.swapaxes(states.history, 0, 1),
         bits_per_sample=bits_per_sample,
         engine=engine,
-    )
+    )  # (C, B, 4 + T)
     if ms:
-        samples = ms_to_lr(samples)
-    pcm = jnp.swapaxes(samples, 0, 1).reshape(samples.shape[1], -1)
+        from ..ops import cseman as cs
+
+        mid, side = samples[0], samples[1]
+        samples = jnp.stack(
+            [cs.clip16(mid + side), cs.clip16(mid - side)], axis=0
+        )
+    pcm = samples.reshape(samples.shape[0], -1)
     return pcm[:, :num_samples]
 
 

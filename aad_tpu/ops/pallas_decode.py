@@ -225,8 +225,10 @@ def pack_code_words(codes: jax.Array) -> jax.Array:
     W = -(-T // 8)
     c = jnp.pad(codes.astype(jnp.uint32), ((0, 0), (0, W * 8 - T)))
     c = c.reshape(L, W, 8)
-    shifts = jnp.arange(8, dtype=jnp.uint32) * 4
-    return (c << shifts).sum(axis=-1, dtype=jnp.uint32)
+    word = c[..., 0]
+    for k in range(1, 8):  # unrolled or-chain fuses into one pass
+        word = word | (c[..., k] << (4 * k))
+    return word
 
 
 def unpack_sample_words(words: jax.Array) -> jax.Array:

@@ -19,6 +19,7 @@ reference binary is present it is re-measured live instead.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import pathlib
@@ -124,27 +125,36 @@ def main() -> None:
     )
     from aad_tpu.codec.decoder import _device_pipeline
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(payload, token):
         # Data-dependency chain lives entirely on device: one byte of the
         # payload depends on the previous iteration's output, so iterations
-        # serialise without any per-iteration host round-trips.
+        # serialise without any per-iteration host round-trips. Donating the
+        # payload makes the one-byte update in-place instead of a copy.
         p = payload.at[0].set((token & 1).astype(jnp.uint8))
         pcm = _device_pipeline(p, **kwargs)
-        return pcm[0, 0].astype(jnp.int32)
+        return p, pcm[0, 0].astype(jnp.int32)
 
-    token = step(dev, jnp.int32(0))
+    dev, token = step(dev, jnp.int32(0))
     float(token)  # warm-up + materialise
 
     t0 = time.time()
     for _ in range(ITERS):
-        token = step(dev, token)
+        dev, token = step(dev, token)
     float(token)  # force the full chain
     dt = (time.time() - t0) / ITERS
 
     samples = header.num_samples * header.num_channels
     value = samples / dt
     baseline = measure_reference_baseline()
+
+    enc_value, enc_baseline = measure_encode()
+    extra = {}
+    if enc_value:
+        extra = {
+            "encode_samples_per_sec": round(enc_value),
+            "encode_vs_baseline": round(enc_value / enc_baseline, 2),
+        }
     print(
         json.dumps(
             {
@@ -152,9 +162,60 @@ def main() -> None:
                 "value": round(value),
                 "unit": "samples/s",
                 "vs_baseline": round(value / baseline, 2),
+                **extra,
             }
         )
     )
+
+
+def measure_encode():
+    """Secondary metric: batch encode throughput (trials=2, the CLI default).
+
+    Returns (samples/s, C-encoder baseline samples/s); (0, 1) on failure.
+    """
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from aad_tpu.codec.encoder import EncodeConfig, resolve_encode_engine
+        from aad_tpu.ops.encode import encode_stream_blocks
+
+        engine = resolve_encode_engine("auto")
+        cfg = EncodeConfig(num_channels=NCH, sampling_rate=RATE)
+        geo = cfg.geometry()
+        nspb = geo.num_samples_per_block
+        S, B = 4096, 4
+        rng = np.random.default_rng(0)
+        sig = (9000 * np.sin(np.arange(S * B * NCH * nspb) / 17)).astype(np.int32)
+        blocks = jnp.asarray(sig.reshape(B, S, NCH, nspb))
+        valid = jnp.full(B, nspb, dtype=jnp.int32)
+        total = S * B * NCH * nspb
+
+        @jax.jit
+        def step(bl, tok):
+            bl = bl.at[0, 0, 0, 0].set(tok & 1)
+            headers, codes = encode_stream_blocks(
+                bl, valid, cfg.bits_per_sample, cfg.num_encode_trials,
+                engine=engine,
+            )
+            return (codes[0, 0, 0, 0] + headers.step_index[0, 0, 0]).astype(
+                jnp.int32
+            )
+
+        tok = step(blocks, jnp.int32(0))
+        float(tok)
+        iters = 5
+        t0 = time.time()
+        for _ in range(iters):
+            tok = step(blocks, tok)
+        float(tok)
+        dt = (time.time() - t0) / iters
+
+        # C encoder baseline on this machine class (see BASELINE notes).
+        enc_baseline = 6.3e6
+        return total / dt, enc_baseline
+    except Exception:
+        return 0, 1
 
 
 if __name__ == "__main__":
