@@ -78,21 +78,49 @@ def _device_pipeline(
     from ..format.framing import parse_block_headers
     from ..ops.bitpack import unpack_codes
 
+    from ..ops.bitpack import supports_direct_words, unpack_to_code_words
+
     blocks = payload.reshape(num_blocks, geo.block_size)
     states = parse_block_headers(blocks, geo)
     data = blocks[:, geo.header_bytes : geo.header_bytes + geo.data_bytes]
-    codes = unpack_codes(data, geo)
+    C = geo.num_channels
+    B = num_blocks
+    T = geo.codes_per_block
     # Channel-major lane order: transposing (B, C, ...) -> (C, B, ...) here
     # moves whole contiguous rows (cheap); the final (C, B, S) -> (C, B*S)
     # flatten is then a free reshape instead of a 4-byte-granular relayout.
-    samples = decode_blocks(
-        jnp.swapaxes(codes, 0, 1),
-        jnp.swapaxes(states.step_index, 0, 1),
-        jnp.swapaxes(states.weight, 0, 1),
-        jnp.swapaxes(states.history, 0, 1),
-        bits_per_sample=bits_per_sample,
-        engine=engine,
-    )  # (C, B, 4 + T)
+    si = jnp.swapaxes(states.step_index, 0, 1)
+    wt = jnp.swapaxes(states.weight, 0, 1)
+    hi = jnp.swapaxes(states.history, 0, 1)
+
+    # NOTE: a word-space unpack fast path exists (ops.bitpack.
+    # unpack_to_code_words + ops.pallas_decode.decode_fused_words) but
+    # measured slower end-to-end than the u8 unpack on current XLA (u8->u32
+    # bitcast lowering), so it is not wired in here.
+    if False and engine == "fused" and supports_direct_words(geo):
+        from ..ops.pallas_decode import decode_fused_words
+
+        words = unpack_to_code_words(data, geo)  # (C*B, W), channel-major
+        body = decode_fused_words(
+            words,
+            si.reshape(C * B),
+            hi.reshape(C * B, 4),
+            wt.reshape(C * B, 4),
+            T,
+            bits_per_sample=bits_per_sample,
+        ).reshape(C, B, T)
+        head = hi[..., ::-1]
+        samples = jnp.concatenate([head, body], axis=-1)  # (C, B, 4 + T)
+    else:
+        codes = unpack_codes(data, geo)
+        samples = decode_blocks(
+            jnp.swapaxes(codes, 0, 1),
+            si,
+            wt,
+            hi,
+            bits_per_sample=bits_per_sample,
+            engine=engine,
+        )  # (C, B, 4 + T)
     if ms:
         from ..ops import cseman as cs
 

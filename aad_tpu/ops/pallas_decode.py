@@ -281,7 +281,45 @@ def _decode_fused_impl(
     L = int(np.prod(lane_shape, dtype=np.int64)) if lane_shape else 1
 
     words = pack_code_words(codes.reshape(L, T))  # (L, W) u32
-    W = words.shape[-1]
+    samples = _decode_words(
+        words,
+        step_index.reshape(L),
+        history.reshape(L, 4),
+        weight.reshape(L, 4),
+        T,
+        bits_per_sample,
+        corrections,
+    )
+    return samples.reshape(*lane_shape, T)
+
+
+def decode_fused_words(
+    words: jax.Array,
+    step_index: jax.Array,
+    history: jax.Array,
+    weight: jax.Array,
+    num_codes: int,
+    *,
+    bits_per_sample: int,
+) -> jax.Array:
+    """As :func:`decode_fused` but consuming pre-packed code words.
+
+    ``words``: (L, ceil(num_codes/8)) uint32, 8 LSB-first 4-bit code slots
+    per word (see ops.bitpack.unpack_to_code_words for the wire fast path).
+    """
+    corrections = stepsize_corrections()
+    return _decode_words(
+        words, step_index, history, weight, num_codes, bits_per_sample, corrections
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("T", "bits_per_sample", "corrections")
+)
+def _decode_words(
+    words, step_index, history, weight, T, bits_per_sample, corrections
+):
+    L, W = words.shape
     ii = step_index.reshape(L).astype(jnp.int32)
     h = history.reshape(L, 4)
     w = weight.reshape(L, 4)
@@ -336,4 +374,4 @@ def _decode_fused_impl(
     samples = unpack_sample_words(
         lax.bitcast_convert_type(packed, jnp.uint32)
     )[:, :T]
-    return samples.reshape(*lane_shape, T)
+    return samples

@@ -84,12 +84,15 @@ def measure_reference_baseline() -> float:
             [str(REF_BINARY), "-e", str(wav), str(aad)],
             check=True, capture_output=True, timeout=300,
         )
-        t0 = time.time()
-        subprocess.run(
-            [str(REF_BINARY), "-d", str(aad), "/tmp/aad_bench_ref_out.wav"],
-            check=True, capture_output=True, timeout=300,
-        )
-        return (n * NCH) / (time.time() - t0)
+        best = 0.0
+        for _ in range(3):  # best-of-3: most favourable to the reference
+            t0 = time.time()
+            subprocess.run(
+                [str(REF_BINARY), "-d", str(aad), "/tmp/aad_bench_ref_out.wav"],
+                check=True, capture_output=True, timeout=300,
+            )
+            best = max(best, (n * NCH) / (time.time() - t0))
+        return best
     except Exception:
         return C_DECODE_BASELINE
 
