@@ -45,6 +45,7 @@ from .codec.decoder import Decoder, decode
 from .codec.encoder import EncodeConfig, Encoder, encode
 from .codec.streaming import StreamingDecoder, StreamingEncoder
 from .codec.batch import decode_batch
+from .codec.batch_encode import encode_batch
 from . import native
 
 __version__ = "0.1.0"
@@ -76,6 +77,7 @@ __all__ = [
     "compute_block_geometry",
     "decode",
     "decode_batch",
+    "encode_batch",
     "decode_header",
     "encode",
     "encode_header",

@@ -349,8 +349,13 @@ def encode_stream_blocks_pallas(
     prev_tm = jnp.concatenate([prev_tm0[None], tm[:-1]], axis=0)
     prev_heads = jnp.concatenate([prev_head0[None], heads[:-1]], axis=0)
     has_prev = jnp.arange(B) + jnp.asarray(blocks_before, jnp.int32) >= 1
-    valid_b = jnp.broadcast_to(jnp.asarray(valid, jnp.int32), (B,))
-    nspb_full = jnp.full((), nspb, dtype=jnp.int32)
+    # valid may be (B,) or broadcastable over lane axes (e.g. (B, S, 1) for a
+    # stream batch); normalise to flat per-lane counts (B, L).
+    va = jnp.asarray(valid, jnp.int32)
+    while va.ndim < 1 + len(lane_axes):
+        va = va[..., None]
+    valid_b = jnp.broadcast_to(va, (B, *lane_axes)).reshape(B, L)
+    nspb_full = jnp.full((L,), nspb, dtype=jnp.int32)
 
     def seed(state: CodecState, head: Array) -> CodecState:
         return state._replace(history=head[..., ::-1])
@@ -362,7 +367,7 @@ def encode_stream_blocks_pallas(
             seeded.step_index,
             seeded.history,
             seeded.weight,
-            jnp.broadcast_to(v, (L,)),
+            v,
             bits_per_sample=bits_per_sample,
             emit_codes=False,
         )

@@ -106,3 +106,49 @@ class TestErrors:
                 EncodeConfig(num_channels=1, sampling_rate=8000,
                              bits_per_sample=3, max_block_size=4),
             )
+
+
+class TestFuzz:
+    """Random-payload decode equivalence: native vs JAX scan engine.
+
+    Valid headers + arbitrary payload bytes — both implementations must
+    produce identical samples on any well-framed garbage (exercises extreme
+    states loaded from block headers).
+    """
+
+    @pytest.mark.parametrize("seed", range(4))
+    @pytest.mark.parametrize("bps", [2, 3, 4])
+    def test_random_payload(self, seed, bps):
+        from aad_tpu.format.geometry import compute_block_geometry
+        from aad_tpu.format.header import HeaderInfo, encode_header
+
+        rng = np.random.default_rng(seed)
+        geo = compute_block_geometry(128, 2, bps)
+        nblocks = 5
+        num_samples = geo.num_samples_per_block * nblocks - 7
+        h = HeaderInfo(
+            num_channels=2,
+            num_samples=num_samples,
+            sampling_rate=44100,
+            bits_per_sample=bps,
+            block_size=geo.block_size,
+            num_samples_per_block=geo.num_samples_per_block,
+            ch_process_method=seed % 2,
+        )
+        payload = rng.integers(0, 256, nblocks * geo.block_size, dtype=np.uint8)
+        # clamp each block's step index into range (the reference never
+        # writes out-of-range indices; out-of-range would read past the
+        # step table in C, which we reject by construction)
+        for b in range(nblocks):
+            off = b * geo.block_size
+            for ch in range(2):
+                tag = (int(payload[off + ch * 18]) << 8) | int(payload[off + ch * 18 + 1])
+                idx = min(tag >> 4, 4080)
+                tag = (idx << 4) | (tag & 0xF)
+                payload[off + ch * 18] = tag >> 8
+                payload[off + ch * 18 + 1] = tag & 0xFF
+        data = encode_header(h) + payload.tobytes()
+
+        _, out_native = native.decode(data)
+        _, out_jax = jax_decode(data, engine="scan")
+        np.testing.assert_array_equal(out_native, np.asarray(out_jax))

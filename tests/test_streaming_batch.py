@@ -111,3 +111,46 @@ class TestBatchDecode:
         assert len(results) == len(streams)
         for (h, pcm), exp in zip(results, expected):
             np.testing.assert_array_equal(pcm, exp)
+
+
+class TestBatchEncode:
+    def test_matches_solo_encodes(self):
+        from aad_tpu.codec.batch_encode import encode_batch
+
+        cfg_kw = dict(sampling_rate=16000, max_block_size=128,
+                      num_encode_trials=2)
+        streams = [
+            noise(1500, 2, seed=11),
+            noise(700, 2, seed=12),     # shorter: trailing dead blocks
+            sine(1801, 2),              # ragged tail
+        ]
+        cfg = EncodeConfig(num_channels=2, **cfg_kw)
+        got = encode_batch(streams, cfg, engine="scan")
+        for pcm, data in zip(streams, got):
+            assert data == encode(pcm, cfg)
+
+    def test_ms_and_tiny_stream(self):
+        from aad_tpu.codec.batch_encode import encode_batch
+
+        cfg = EncodeConfig(num_channels=2, sampling_rate=8000,
+                           max_block_size=64, ch_process_method=1,
+                           num_encode_trials=1)
+        streams = [noise(400, 2, seed=13), sine(3, 2)]
+        got = encode_batch(streams, cfg, engine="scan")
+        for pcm, data in zip(streams, got):
+            assert data == encode(pcm, cfg)
+
+    def test_roundtrip_through_batch_decode(self):
+        from aad_tpu.codec.batch import decode_batch
+        from aad_tpu.codec.batch_encode import encode_batch
+
+        cfg = EncodeConfig(num_channels=1, sampling_rate=8000,
+                           max_block_size=256, num_encode_trials=0)
+        streams = [noise(900, 1, seed=14), noise(1300, 1, seed=15)]
+        enc = encode_batch(streams, cfg, engine="scan")
+        dec = decode_batch(enc, engine="scan")
+        for pcm, (_, out) in zip(streams, dec):
+            err = (pcm.astype(np.float64) - out) / 32768.0
+            # white-noise 4-bit ceiling (reference:
+            # test/test_aad_encode_decode.c:343-380)
+            assert np.sqrt(np.mean(err**2)) < 1.0e-1
