@@ -67,13 +67,21 @@ def padded_lanes(L: int) -> int:
 
 
 def to_timemajor(samples: jax.Array) -> jax.Array:
-    """(L, T) int32 -> (Tp, n_tiles, 8, 128) kernel tile layout."""
+    """(L, T) int16-valued int32 -> (Wp2, n_tiles, 8, 128) packed tiles.
+
+    Samples are packed two per u32 word (low halfword first) before the
+    time-major transpose — per-step dynamic VMEM loads dominate the kernel's
+    cycle count, so one load feeds two steps and the relayout halves.
+    """
     L, T = samples.shape
     Lp = padded_lanes(L)
     Tp = -(-T // T_CHUNK) * T_CHUNK
     x = jnp.pad(samples.astype(jnp.int32), ((0, Lp - L), (0, Tp - T)))
+    lo = x[:, 0::2] & jnp.int32(0xFFFF)
+    hi = x[:, 1::2] << 16
+    w = hi | lo  # (Lp, Tp // 2)
     n_tiles = Lp // TILE
-    return x.reshape(n_tiles, SUBLANES, LANES, Tp).transpose(3, 0, 1, 2)
+    return w.reshape(n_tiles, SUBLANES, LANES, Tp // 2).transpose(3, 0, 1, 2)
 
 
 def _lane_tiles(x: jax.Array, k: int) -> jax.Array:
@@ -113,10 +121,9 @@ def _make_kernel(bits_per_sample: int, corrections, emit_codes: bool):
 
         valid_codes = valid_ref[0, 0] - FILTER_ORDER
 
-        def step(t, carry):
+        def sample_step(sample, gt, carry):
+            """One encode step on a (8,128) sample tile; returns (code, carry)."""
             h0, h1, h2, h3, w0, w1, w2, w3, idx, sh, sl = carry
-            sample = samples_ref[t, 0]
-            gt = t_chunk * T_CHUNK + t  # global sample-slot index
 
             # step size from the verified formula
             slot = (idx + TABLES_FLOAT_0_5) >> TABLES_FLOAT_DIGITS
@@ -162,11 +169,9 @@ def _make_kernel(bits_per_sample: int, corrections, emit_codes: bool):
             unsl = nsl ^ jnp.int32(-2147483648)
             nsh = sh + (unsl < usl).astype(jnp.int32)
 
-            if emit_codes:
-                codes_ref[t, 0] = jnp.where(neg, mag | signbit, mag)
-
+            code = jnp.where(neg, mag | signbit, mag)
             live = gt < valid_codes
-            return (
+            return code, (
                 jnp.where(live, s16, h0),
                 jnp.where(live, h0, h1),
                 jnp.where(live, h1, h2),
@@ -180,8 +185,23 @@ def _make_kernel(bits_per_sample: int, corrections, emit_codes: bool):
                 jnp.where(live, nsl, sl),
             )
 
+        # grouped loop: 8 samples = 4 input sample-words = 1 output code word
+        def group_step(g, carry):
+            code_word = jnp.zeros((SUBLANES, LANES), jnp.int32)
+            base = t_chunk * T_CHUNK + g * 8
+            for j in range(4):
+                word = samples_ref[g * 4 + j, 0]
+                lo = (word << 16) >> 16  # arithmetic sign-extend
+                hi = word >> 16
+                for k, sample in ((2 * j, lo), (2 * j + 1, hi)):
+                    code, carry = sample_step(sample, base + k, carry)
+                    code_word = code_word | (code << (4 * k))
+            if emit_codes:
+                codes_ref[g, 0] = code_word
+            return carry
+
         carry = tuple(state[k] for k in range(11))
-        carry = lax.fori_loop(0, T_CHUNK, step, carry)
+        carry = lax.fori_loop(0, T_CHUNK // 8, group_step, carry)
         for k in range(11):
             state[k] = carry[k]
         for k in range(9):
@@ -232,7 +252,9 @@ def _encode_scan_tiles_impl(
     samples_tm, step_index, history, weight, valid, *,
     bits_per_sample, corrections, emit_codes,
 ):
-    Tp, n_tiles = samples_tm.shape[0], samples_tm.shape[1]
+    # samples_tm holds 2 samples per word: (Tp/2, tiles, 8, 128)
+    Tp = samples_tm.shape[0] * 2
+    n_tiles = samples_tm.shape[1]
     L = step_index.shape[0]
 
     ii_t = _lane_tiles(step_index, 1)
@@ -253,20 +275,22 @@ def _encode_scan_tiles_impl(
         jax.ShapeDtypeStruct((n_tiles, 2, SUBLANES, LANES), jnp.int32),
     ]
     if emit_codes:
+        # codes leave packed 8 per u32 word
         out_specs.insert(
             0,
-            pl.BlockSpec((T_CHUNK, 1, SUBLANES, LANES), time_block,
+            pl.BlockSpec((T_CHUNK // 8, 1, SUBLANES, LANES), time_block,
                          memory_space=pltpu.VMEM),
         )
         out_shapes.insert(
-            0, jax.ShapeDtypeStruct((Tp, n_tiles, SUBLANES, LANES), jnp.int32)
+            0,
+            jax.ShapeDtypeStruct((Tp // 8, n_tiles, SUBLANES, LANES), jnp.int32),
         )
 
     outs = pl.pallas_call(
         _make_kernel(bits_per_sample, corrections, emit_codes),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((T_CHUNK, 1, SUBLANES, LANES), time_block,
+            pl.BlockSpec((T_CHUNK // 2, 1, SUBLANES, LANES), time_block,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, SUBLANES, LANES), lane_block,
                          memory_space=pltpu.VMEM),
@@ -296,7 +320,10 @@ def _encode_scan_tiles_impl(
     ss = sse.reshape(n_tiles, 2, TILE).transpose(0, 2, 1).reshape(Lp, 2)[:L]
     codes = None
     if codes_t is not None:
-        codes = codes_t.transpose(1, 2, 3, 0).reshape(Lp, Tp)[:L]
+        words = codes_t.transpose(1, 2, 3, 0).reshape(Lp, Tp // 8)[:L]
+        # unpack 8 codes per word (LSB-first 4-bit slots)
+        nib = [(words >> (4 * k)) & 0xF for k in range(8)]
+        codes = jnp.stack(nib, axis=-1).reshape(L, Tp)
 
     sse_hi = lax.bitcast_convert_type(ss[:, 0], jnp.uint32)
     sse_lo = lax.bitcast_convert_type(ss[:, 1], jnp.uint32)
