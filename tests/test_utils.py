@@ -1,0 +1,113 @@
+"""Utility-layer tests: debug invariants, profiling meter, word-pack blocks."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from aad_tpu.codec.result import InvalidFormatError
+from aad_tpu.format.geometry import compute_block_geometry
+from aad_tpu.utils import debug
+
+
+class TestDebug:
+    def setup_method(self):
+        debug.enable(True)
+
+    def teardown_method(self):
+        debug.enable(False)
+
+    def test_step_index_out_of_range_rejected(self):
+        from aad_tpu.format.framing import BlockStates
+
+        geo = compute_block_geometry(64, 1, 4)
+        states = BlockStates(
+            step_index=np.array([[5000]], dtype=np.int32),
+            weight=np.zeros((1, 1, 4), np.int32),
+            history=np.zeros((1, 1, 4), np.int32),
+        )
+        codes = np.zeros((1, 1, geo.codes_per_block), np.uint8)
+        with pytest.raises(InvalidFormatError):
+            debug.check_framed_stream(states, codes, geo)
+
+    def test_pcm_range_check(self):
+        with pytest.raises(InvalidFormatError):
+            debug.check_pcm_range(np.array([[40000]], np.int32))
+        debug.check_pcm_range(np.array([[32767, -32768]], np.int32))
+
+    def test_disabled_is_noop(self):
+        debug.enable(False)
+        debug.check_pcm_range(np.array([[99999]], np.int32))  # no raise
+
+    def test_decoder_frame_hook(self, fixture_dir):
+        """Debug mode accepts valid golden streams end-to-end."""
+        from aad_tpu import decode
+
+        data = (fixture_dir / "sin300Hz_mono.aad").read_bytes()
+        _, pcm = decode(data, engine="scan")
+        assert pcm.shape[1] == 24000  # num_samples of the mono fixture
+
+
+class TestProfiling:
+    def test_throughput_meter(self):
+        from aad_tpu.utils.profiling import measure_throughput
+
+        x = jnp.ones((64, 64), jnp.int32)
+        rep = measure_throughput(lambda a: a * 2 + 1, x, x.size, iters=3)
+        assert rep.samples_per_sec > 0
+        assert rep.iters == 3
+        assert "samples" in str(rep) or "G" in str(rep)
+
+
+class TestWordPacking:
+    def test_pack_unpack_words(self):
+        from aad_tpu.ops.pallas_decode import pack_code_words, unpack_sample_words
+
+        rng = np.random.default_rng(0)
+        codes = jnp.asarray(rng.integers(0, 16, (5, 37)).astype(np.int32))
+        words = pack_code_words(codes)
+        assert words.shape == (5, 5)
+        # unpack manually and compare
+        got = np.zeros((5, 40), np.int32)
+        w = np.asarray(words)
+        for k in range(8):
+            got[:, k::8] = (w >> (4 * k)) & 0xF
+        np.testing.assert_array_equal(got[:, :37], np.asarray(codes))
+
+        samples = rng.integers(-32768, 32768, (3, 10)).astype(np.int32)
+        packed = (samples[:, 0::2] & 0xFFFF) | (samples[:, 1::2] << 16)
+        out = unpack_sample_words(jnp.asarray(packed.astype(np.uint32)))
+        np.testing.assert_array_equal(np.asarray(out), samples)
+
+    def test_unpack_to_code_words_matches_reference_path(self):
+        from aad_tpu.ops.bitpack import (
+            supports_direct_words,
+            unpack_codes,
+            unpack_to_code_words,
+        )
+        from aad_tpu.ops.pallas_decode import pack_code_words
+
+        rng = np.random.default_rng(1)
+        for nch in (1, 2):
+            geo = compute_block_geometry(256, nch, 4)
+            assert supports_direct_words(geo)
+            data = rng.integers(0, 256, (7, geo.data_bytes), dtype=np.uint8)
+            words = np.asarray(unpack_to_code_words(jnp.asarray(data), geo))
+            codes = unpack_codes(data, geo)  # (B, C, T)
+            ref = np.asarray(
+                pack_code_words(
+                    jnp.asarray(np.swapaxes(codes, 0, 1).reshape(nch * 7, -1))
+                )
+            )
+            np.testing.assert_array_equal(words, ref)
+
+
+def test_main_module_entry():
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "aad_tpu", "-v"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert r.returncode == 0 and "Version" in r.stdout
