@@ -266,12 +266,30 @@ def decode(data: bytes | np.ndarray, engine: str = "auto") -> tuple[HeaderInfo, 
     Returns (header, pcm) where pcm is (num_channels, num_samples) int32 in
     the int16 value range — the same convention as the reference's
     ``DecodeWhole`` output buffers (reference: src/aad_decoder.c:478).
+
+    ``engine="auto"`` picks the fused device pipeline on TPU; on
+    accelerator-less hosts it prefers the native codec (milliseconds vs a
+    per-shape jit compile). Pass an explicit engine to override.
     """
     buf = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(
         data, (bytes, bytearray)
     ) else np.asarray(data, dtype=np.uint8)
     header = decode_header(buf.tobytes()[:FILE_HEADER_SIZE])
     validate_header(header)
+
+    if engine == "auto":
+        from ..ops.decode import _on_tpu
+
+        if not _on_tpu():
+            from .. import native
+
+            if native.available():
+                return native.decode(buf)
+    elif engine == "native":
+        from .. import native
+
+        return native.decode(buf)
+
     dec = Decoder.from_header(header, engine=engine)
     pcm = dec.decode_payload(buf[FILE_HEADER_SIZE:])
     return header, np.asarray(pcm)

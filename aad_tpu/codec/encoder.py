@@ -193,6 +193,26 @@ class Encoder:
         return file_header + payload.tobytes()
 
 
-def encode(pcm: np.ndarray, config: EncodeConfig) -> bytes:
-    """One-shot encode; see :class:`Encoder`."""
-    return Encoder.from_config(config).encode(pcm)
+def encode(pcm: np.ndarray, config: EncodeConfig, engine: str = "auto") -> bytes:
+    """One-shot encode; see :class:`Encoder`.
+
+    ``engine="auto"`` uses the Pallas device path on TPU; on
+    accelerator-less hosts it prefers the native codec (instant vs a
+    per-shape jit compile). Pass "scan"/"pallas"/"native" to override.
+    """
+    if engine == "native":
+        from .. import native
+
+        return native.encode(np.asarray(pcm, dtype=np.int32), config)
+    if engine == "auto":
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:  # pragma: no cover
+            on_tpu = False
+        if not on_tpu:
+            from .. import native
+
+            if native.available():
+                config.validate()
+                return native.encode(np.asarray(pcm, dtype=np.int32), config)
+    return Encoder.from_config(config, engine=engine).encode(pcm)

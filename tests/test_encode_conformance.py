@@ -23,7 +23,8 @@ def _our_encode(pcm, rate, bps, block, trials, ms):
         ch_process_method=1 if ms else 0,
         num_encode_trials=trials,
     )
-    return encode(pcm, cfg)
+    # pin the JAX engine: this suite exists to conform the scan path
+    return encode(pcm, cfg, engine="scan")
 
 
 # Short signals keep the sequential-scan runtime manageable on the CPU test

@@ -64,7 +64,7 @@ class TestCrossImplementation:
             ch_process_method=1 if ms else 0,
             num_encode_trials=2,
         )
-        assert native.encode(pcm, cfg) == jax_encode(pcm, cfg)
+        assert native.encode(pcm, cfg) == jax_encode(pcm, cfg, engine="scan")
 
     def test_decode_agrees_with_jax(self):
         pcm = noise(3000, 2, seed=4)
@@ -84,7 +84,7 @@ class TestCrossImplementation:
             cfg = EncodeConfig(num_channels=1, sampling_rate=8000,
                                max_block_size=256)
             data = native.encode(pcm, cfg)
-            assert data == jax_encode(pcm, cfg)
+            assert data == jax_encode(pcm, cfg, engine="scan")
             _, out = native.decode(data)
             _, out_j = jax_decode(data, engine="scan")
             np.testing.assert_array_equal(out, np.asarray(out_j))
