@@ -20,7 +20,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..constants import CH_PROCESS_MS, FILTER_ORDER
+from ..constants import CH_PROCESS_MS
 from ..format import framing
 from ..format.geometry import encoded_block_bytes
 from ..format.header import HeaderInfo, decode_header, encode_header, validate_header

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..constants import FILTER_ORDER, INT16_MAX
+from ..constants import FILTER_ORDER
 from . import cseman as cs
 from .transitions import CodecState, encode_sample
 

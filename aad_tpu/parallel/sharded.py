@@ -22,19 +22,16 @@ scaling, which is exactly what the format admits.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.5 exposes shard_map at the top level
     from jax import shard_map
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from ..constants import FILTER_ORDER
 from ..ops.decode import _decode_blocks_impl, resolve_engine
 
 Array = jax.Array

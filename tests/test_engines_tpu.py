@@ -67,3 +67,23 @@ class TestFusedEngine:
         _, pcm = decode(data, engine="fused")
         _, golden = read_wav(str(fixture_dir / "sin300Hz_decoded.wav"))
         np.testing.assert_array_equal(pcm, golden >> 16)
+
+
+@requires_tpu
+def test_scale_smoke():
+    """A 10-minute stereo stream decodes in one device program."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    import bench as B_mod  # repo-root bench module doubles as a generator
+    from aad_tpu import FILE_HEADER_SIZE, decode_header
+    from aad_tpu.codec.decoder import Decoder
+
+    data, _ = B_mod.build_synthetic_stream(48000 * 600)
+    header = decode_header(data)
+    dec = Decoder.from_header(header, engine="fused")
+    payload = np.frombuffer(data, dtype=np.uint8)[FILE_HEADER_SIZE:]
+    pcm = np.asarray(dec.decode_payload_ondevice(payload))
+    assert pcm.shape == (2, header.num_samples)
+    assert pcm.min() >= -32768 and pcm.max() <= 32767
