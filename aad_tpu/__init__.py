@@ -15,6 +15,16 @@ Public surface:
     StreamingEncoder                  -> chunked encode with state carry
 """
 
+import os as _os
+
+if _os.environ.get("AAD_TPU_PLATFORM"):
+    # Opt-in platform pin (e.g. AAD_TPU_PLATFORM=cpu). Applied via config so
+    # it also wins where a site hook selects a platform programmatically
+    # after env-var processing.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["AAD_TPU_PLATFORM"])
+
 from .codec.result import (
     AadError,
     ApiResult,
@@ -47,6 +57,8 @@ from .codec.streaming import StreamingDecoder, StreamingEncoder
 from .codec.batch import decode_batch
 from .codec.batch_encode import encode_batch
 from . import native
+from .io import decode_file, encode_file
+from .utils.quality import QualityStats, quality_stats, roundtrip_stats, self_check
 
 __version__ = "0.1.0"
 
@@ -78,10 +90,15 @@ __all__ = [
     "decode",
     "decode_batch",
     "encode_batch",
+    "decode_file",
     "decode_header",
     "encode",
+    "encode_file",
     "encode_header",
     "geometry_from_header",
     "native",
+    "quality_stats",
+    "roundtrip_stats",
+    "self_check",
     "validate_header",
 ]

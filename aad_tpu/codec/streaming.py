@@ -32,13 +32,22 @@ from .result import InvalidArgumentError
 class StreamingEncoder:
     """Chunked encoder with bit-exact predictor-state carryover."""
 
-    def __init__(self, config: EncodeConfig, engine: str = "auto"):
+    def __init__(
+        self,
+        config: EncodeConfig,
+        engine: str = "auto",
+        total_samples: int | None = None,
+    ):
+        """``total_samples``: declare the stream length up front so
+        :meth:`header` is valid before any data arrives — required for
+        progressive transmission (the 31-byte header carries the total)."""
         from .encoder import resolve_encode_engine
 
         config.validate()
         self.config = config
         self.geometry = config.geometry()
         self.engine = resolve_encode_engine(engine)
+        self.total_samples = total_samples
         self._buffer = np.empty((config.num_channels, 0), dtype=np.int32)
         self._carry = None
         self._blocks_done = 0
@@ -79,8 +88,13 @@ class StreamingEncoder:
         return self._encode_blocks(tail, full_blocks=False)
 
     def header(self) -> bytes:
-        """The 31-byte stream header for everything encoded so far."""
-        return encode_header(self.config.header_for(self._samples_done))
+        """The 31-byte stream header.
+
+        Uses the declared ``total_samples`` when given (valid immediately);
+        otherwise the samples consumed so far (valid after :meth:`finish`).
+        """
+        n = self.total_samples if self.total_samples is not None else self._samples_done
+        return encode_header(self.config.header_for(n))
 
     @property
     def num_samples(self) -> int:

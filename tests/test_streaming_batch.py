@@ -154,3 +154,28 @@ class TestBatchEncode:
             # white-noise 4-bit ceiling (reference:
             # test/test_aad_encode_decode.c:343-380)
             assert np.sqrt(np.mean(err**2)) < 1.0e-1
+
+
+def test_streaming_with_declared_total():
+    """Progressive transmission: header valid before any data arrives."""
+    from aad_tpu.codec.streaming import StreamingDecoder
+
+    pcm = noise(2500, 1, seed=21)
+    cfg = EncodeConfig(num_channels=1, sampling_rate=16000, max_block_size=256)
+    whole = encode(pcm, cfg, engine="scan")
+
+    enc = StreamingEncoder(cfg, engine="scan", total_samples=2500)
+    dec = StreamingDecoder(engine="scan")
+    outs = [dec.push(enc.header())]
+    stream = enc.header()
+    for off in range(0, 2500, 700):
+        b = enc.push(pcm[:, off : off + 700])
+        stream += b
+        outs.append(dec.push(b))
+    b = enc.finish()
+    stream += b
+    outs.append(dec.push(b))
+    assert stream == whole
+    got = np.concatenate([o for o in outs if o.size], axis=1)
+    _, want = decode(whole, engine="scan")
+    np.testing.assert_array_equal(got, np.asarray(want))

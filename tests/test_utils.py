@@ -111,3 +111,52 @@ def test_main_module_entry():
         capture_output=True, text=True, cwd="/root/repo", timeout=120,
     )
     assert r.returncode == 0 and "Version" in r.stdout
+
+
+class TestQuality:
+    def test_quality_stats(self):
+        from aad_tpu.utils.quality import quality_stats
+
+        a = np.array([[0, 1000, -1000]], np.int32)
+        s = quality_stats(a, a)
+        assert s.rmse == 0 and s.max_abs == 0
+        b = np.array([[0, 1000, -2000]], np.int32)
+        s = quality_stats(a, b)
+        assert s.max_abs == pytest.approx(1000 / 32768.0)
+        assert "RMSE:" in str(s)
+
+    def test_roundtrip_stats(self):
+        from aad_tpu.codec.encoder import EncodeConfig
+        from aad_tpu.utils.quality import roundtrip_stats
+
+        rng = np.random.default_rng(0)
+        pcm = (8000 * np.sin(np.arange(2000) / 9)).astype(np.int32)[None]
+        s = roundtrip_stats(
+            pcm, EncodeConfig(num_channels=1, sampling_rate=8000), engine="scan"
+        )
+        assert 0 < s.rmse < 5e-2
+
+    def test_self_check(self):
+        from aad_tpu.utils.quality import self_check
+
+        report = self_check()
+        assert len(report["checks"]) == 3
+        assert all(c["ok"] for c in report["checks"])
+
+
+class TestFileIO:
+    def test_encode_decode_file(self, tmp_path, fixture_dir):
+        from aad_tpu.io import decode_file, encode_file
+        from aad_tpu.format.wav import read_wav
+
+        hdr = encode_file(
+            str(fixture_dir / "sin300Hz_mono.wav"), str(tmp_path / "o.aad")
+        )
+        assert (tmp_path / "o.aad").read_bytes() == (
+            fixture_dir / "sin300Hz_mono.aad"
+        ).read_bytes()
+        hdr2 = decode_file(str(tmp_path / "o.aad"), str(tmp_path / "o.wav"))
+        assert hdr2.num_samples == hdr.num_samples
+        _, got = read_wav(str(tmp_path / "o.wav"))
+        _, want = read_wav(str(fixture_dir / "sin300Hz_mono_decoded.wav"))
+        np.testing.assert_array_equal(got, want)
