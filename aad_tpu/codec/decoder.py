@@ -231,8 +231,15 @@ class Decoder:
         Returns (C, n) int32 where n covers the requested blocks (the final
         stream tail is truncated if the range includes the last block).
         """
+        from .result import InvalidArgumentError
+
         framed = self.frame(payload)
         stop = min(start_block + num_blocks, framed.num_blocks)
+        if start_block < 0 or start_block >= framed.num_blocks or stop <= start_block:
+            raise InvalidArgumentError(
+                f"block range [{start_block}, {start_block + num_blocks}) out of "
+                f"bounds for {framed.num_blocks} blocks"
+            )
         nspb = self.header.num_samples_per_block
         sub = FramedStream(
             states=type(framed.states)(

@@ -86,7 +86,10 @@ def read_wav(path: str) -> tuple[WavFormat, np.ndarray]:
         (csize,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + csize]
         if cid == b"fmt ":
-            tag, nch, rate, _, _, depth = struct.unpack_from("<HHIIHH", body, 0)
+            try:
+                tag, nch, rate, _, _, depth = struct.unpack_from("<HHIIHH", body, 0)
+            except struct.error as e:
+                raise InvalidFormatError(f"truncated fmt chunk: {e}") from None
             if tag != 1:  # linear PCM only (reference: src/wav.c:144-148)
                 raise InvalidFormatError(f"unsupported WAVE format tag: {tag}")
             fmt = (nch, rate, depth)

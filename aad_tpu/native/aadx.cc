@@ -344,15 +344,24 @@ int aadx_decode(const uint8_t* data, size_t size, int32_t* pcm,
   size_t off = kHeaderSize;
   uint32_t done = 0;
   while (done < info->num_samples && off < size) {
-    if (size - off < g.header_bytes) return AADX_INSUFFICIENT_DATA;
+    const uint32_t limit = info->num_samples - done;
+    const uint32_t emit = std::min(info->num_samples_per_block, limit);
+    // Bound the read: a block must carry whole units covering its samples.
+    // (The reference reads past truncated buffers — reference:
+    // src/aad_decoder.c:394-455 has DEBUG-only bounds asserts; we reject.)
+    const uint32_t coded = emit > kFilterOrder ? emit - kFilterOrder : 0;
+    const uint32_t need =
+        g.header_bytes +
+        ((coded + g.samples_per_unit - 1) / g.samples_per_unit) * g.unit_bytes;
+    if (size - off < need) return AADX_INSUFFICIENT_DATA;
     for (uint32_t ch = 0; ch < info->num_channels; ++ch)
       chans[ch] = pcm + size_t(ch) * info->num_samples + done;
-    const uint32_t limit = info->num_samples - done;
     decode_block(data + off, *info, g, lms, chans, limit);
     // Advance by the on-the-wire block size (the final block is truncated).
     off += std::min<size_t>(info->block_size, size - off);
-    done += std::min(info->num_samples_per_block, limit);
+    done += emit;
   }
+  if (done < info->num_samples) return AADX_INSUFFICIENT_DATA;
   return AADX_OK;
 }
 

@@ -48,3 +48,19 @@ def test_decode_block_range_matches_whole(fixture_dir):
     nblocks = -(-header.num_samples // nspb)
     tail = np.asarray(dec.decode_block_range(payload, nblocks - 2, 2))
     np.testing.assert_array_equal(tail, whole[:, (nblocks - 2) * nspb :])
+
+
+def test_decode_block_range_out_of_bounds(fixture_dir):
+    import numpy as np
+    import pytest as _pytest
+
+    from aad_tpu import FILE_HEADER_SIZE, Decoder, decode_header
+    from aad_tpu.codec.result import InvalidArgumentError
+
+    data = (fixture_dir / "sin300Hz_mono.aad").read_bytes()
+    dec = Decoder.from_header(decode_header(data), engine="scan")
+    payload = np.frombuffer(data, dtype=np.uint8)[FILE_HEADER_SIZE:]
+    with _pytest.raises(InvalidArgumentError):
+        dec.decode_block_range(payload, 9999, 2)
+    with _pytest.raises(InvalidArgumentError):
+        dec.decode_block_range(payload, -1, 2)

@@ -152,3 +152,31 @@ class TestFuzz:
         _, out_native = native.decode(data)
         _, out_jax = jax_decode(data, engine="scan")
         np.testing.assert_array_equal(out_native, np.asarray(out_jax))
+
+
+class TestTruncationRobustness:
+    """Truncated payloads must raise, never overread (the reference's C
+    code reads past truncated buffers with only DEBUG asserts)."""
+
+    def _stream(self):
+        pcm = noise(3000, 2, seed=30)
+        cfg = EncodeConfig(num_channels=2, sampling_rate=8000, max_block_size=128)
+        return native.encode(pcm, cfg)
+
+    @pytest.mark.parametrize("cut", [40, 200, 500, -1, -50])
+    def test_truncated_raises(self, cut):
+        data = self._stream()
+        with pytest.raises(InsufficientDataError):
+            native.decode(data[:cut] if cut > 0 else data[:len(data) + cut])
+
+    def test_exact_length_ok(self):
+        data = self._stream()
+        h, pcm = native.decode(data)
+        assert pcm.shape == (2, 3000)
+
+    def test_trailing_garbage_tolerated(self):
+        # bytes beyond the final block are ignored (stream is self-delimiting
+        # by num_samples)
+        data = self._stream() + b"\xff" * 64
+        h, pcm = native.decode(data)
+        assert pcm.shape == (2, 3000)
