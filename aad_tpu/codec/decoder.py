@@ -25,6 +25,7 @@ from ..constants import CH_PROCESS_MS, FILE_HEADER_SIZE, FILTER_ORDER
 from ..format.framing import FramedStream, frame_stream
 from ..format.geometry import BlockGeometry, geometry_from_header
 from ..format.header import HeaderInfo, decode_header, validate_header
+from .result import InvalidArgumentError
 from ..ops.decode import decode_blocks, ms_to_lr
 
 
@@ -219,6 +220,26 @@ class Decoder:
             num_samples=h.num_samples,
             engine=self.engine,
         )
+
+    def decode_time_range(
+        self, payload: np.ndarray, start_seconds: float, end_seconds: float
+    ) -> jax.Array:
+        """Random-access decode of a time window (seek support).
+
+        Returns (C, n) samples covering the requested window rounded out to
+        block boundaries (block self-containedness makes any window
+        decodable without preceding data); trims to the exact sample range.
+        """
+        h = self.header
+        nspb = h.num_samples_per_block
+        s0 = max(0, int(start_seconds * h.sampling_rate))
+        s1 = min(h.num_samples, int(end_seconds * h.sampling_rate))
+        if s1 <= s0:
+            raise InvalidArgumentError("empty time range")
+        b0 = s0 // nspb
+        b1 = -(-s1 // nspb)
+        samples = self.decode_block_range(payload, b0, b1 - b0)
+        return samples[:, s0 - b0 * nspb : s1 - b0 * nspb]
 
     def decode_block_range(
         self, payload: np.ndarray, start_block: int, num_blocks: int

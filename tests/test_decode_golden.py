@@ -64,3 +64,18 @@ def test_decode_block_range_out_of_bounds(fixture_dir):
         dec.decode_block_range(payload, 9999, 2)
     with _pytest.raises(InvalidArgumentError):
         dec.decode_block_range(payload, -1, 2)
+
+
+def test_decode_time_range(fixture_dir):
+    import numpy as np
+
+    from aad_tpu import FILE_HEADER_SIZE, Decoder, decode, decode_header
+
+    data = (fixture_dir / "sin300Hz.aad").read_bytes()
+    header, whole = decode(data, engine="scan")
+    dec = Decoder.from_header(header, engine="scan")
+    payload = np.frombuffer(data, dtype=np.uint8)[FILE_HEADER_SIZE:]
+    got = np.asarray(dec.decode_time_range(payload, 0.1, 0.25))
+    s0 = int(0.1 * header.sampling_rate)
+    s1 = int(0.25 * header.sampling_rate)
+    np.testing.assert_array_equal(got, whole[:, s0:s1])
