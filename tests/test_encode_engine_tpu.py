@@ -67,3 +67,54 @@ class TestPallasEncode:
             np.testing.assert_array_equal(
                 np.asarray(h_all.step_index[:, s]), np.asarray(h_one.step_index)
             )
+
+
+@requires_tpu
+class TestFusedEncodeKernel:
+    """Single-execution whole-stream encode kernel (ops/pallas_encode_fused)."""
+
+    @pytest.mark.parametrize("bps,trials", [(4, 2), (3, 1), (2, 2), (4, 0)])
+    def test_matches_scan(self, bps, trials):
+        from aad_tpu.ops.encode import encode_stream_blocks_carry
+        from aad_tpu.ops.pallas_encode_fused import encode_stream_fused
+
+        rng = np.random.default_rng(0)
+        B, C, nspb = 4, 2, 252
+        n = B * C * nspb
+        sig = (9000 * np.sin(np.arange(n) / 17)
+               + rng.integers(-2000, 2000, n)).astype(np.int32)
+        blocks = jnp.asarray(sig.reshape(B, C, nspb))
+        valid = np.full(B, nspb, dtype=np.int32)
+        valid[-1] = nspb - 9
+        jv = jnp.asarray(valid)
+        h_s, c_s, k_s = encode_stream_blocks_carry(blocks, jv, bps, trials,
+                                                   engine="scan")
+        h_f, c_f, k_f = encode_stream_fused(blocks, jv, bps, trials)
+        np.testing.assert_array_equal(np.asarray(c_s), np.asarray(c_f))
+        for a, b in zip(h_s, h_f):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(k_s[0], k_f[0]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_streaming_carry_chains(self):
+        """Two fused chunks == one fused whole (carry round trip)."""
+        from aad_tpu.ops.pallas_encode_fused import encode_stream_fused
+
+        rng = np.random.default_rng(1)
+        B, C, nspb = 6, 2, 124
+        blocks = jnp.asarray(
+            rng.integers(-20000, 20000, (B, C, nspb)).astype(np.int32)
+        )
+        valid = jnp.full(B, nspb, dtype=jnp.int32)
+        h_all, c_all, _ = encode_stream_fused(blocks, valid, 4, 2)
+        h1, c1, carry = encode_stream_fused(blocks[:3], valid[:3], 4, 2)
+        h2, c2, _ = encode_stream_fused(
+            blocks[3:], valid[3:], 4, 2, carry=carry, blocks_before=3
+        )
+        np.testing.assert_array_equal(
+            np.asarray(c_all), np.concatenate([np.asarray(c1), np.asarray(c2)])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(h_all.step_index),
+            np.concatenate([np.asarray(h1.step_index), np.asarray(h2.step_index)]),
+        )
