@@ -306,12 +306,25 @@ def encode_stream_blocks_pallas(
 ):
     """Pallas-engined sequential block encode.
 
-    Layout strategy: every block's sample slots are converted to the
-    kernel's time-major tile layout **once** up front (the trial search
+    Dispatches to the single-execution whole-stream kernel
+    (ops/pallas_encode_fused) when the block geometry fits its VMEM budget —
+    equal throughput, ~8x faster compile — and otherwise to the per-pass
+    kernel pipeline below.
+
+    Per-pass layout strategy: every block's sample slots are converted to
+    the kernel's time-major tile layout **once** up front (the trial search
     touches each block up to six times; re-transposing per pass dominated
     the runtime otherwise). States flow flat (L,) between kernel calls;
     measure passes skip the code output entirely.
     """
+    nspb_static = blocks.shape[-1]
+    from .pallas_encode_fused import encode_stream_fused, supports_fused_encode
+
+    if supports_fused_encode(nspb_static):
+        return encode_stream_fused(
+            blocks, valid, bits_per_sample, num_trials,
+            carry=carry, blocks_before=blocks_before,
+        )
     from .pallas_decode import warm_fused_engine
     from .pallas_encode import encode_scan_tiles, to_timemajor
 
