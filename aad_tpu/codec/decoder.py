@@ -133,6 +133,20 @@ def _device_pipeline(
     return pcm[:, :num_samples]
 
 
+def _bucket_blocks(n: int) -> int:
+    """Round a block count up to a geometric bucket (~1.3x steps).
+
+    Bounds wasted decode work to <=30% while collapsing the per-file-length
+    jit-compile explosion to O(log) shapes.
+    """
+    if n <= 8:
+        return n
+    bucket = 8
+    while bucket < n:
+        bucket = max(bucket + 1, int(bucket * 1.3))
+    return bucket
+
+
 _device_pipeline_jit = jax.jit(
     _device_pipeline,
     static_argnames=(
@@ -195,31 +209,38 @@ class Decoder:
     def decode_payload(self, payload: np.ndarray) -> jax.Array:
         return self.decode_framed(self.frame(payload))
 
-    def decode_payload_ondevice(self, payload) -> jax.Array:
+    def decode_payload_ondevice(self, payload, bucket: bool = True) -> jax.Array:
         """Fully fused on-device decode (bitstream parsing included).
 
         ``payload`` is the post-header byte stream; it is zero-padded to a
         whole number of blocks host-side (cheap) and everything else runs in
         one jitted device computation.
+
+        With ``bucket=True`` (default) the block count is padded up to a
+        geometric bucket and the sample count left dynamic, so arbitrary
+        file lengths share O(log) compiled pipelines instead of one per
+        length — padding blocks decode garbage that is sliced away.
         """
         from ..format.geometry import num_blocks_for
 
         h = self.header
         nblocks = num_blocks_for(h.num_samples, h.num_samples_per_block)
-        total = nblocks * self.geometry.block_size
+        nb_padded = _bucket_blocks(nblocks) if bucket else nblocks
+        total = nb_padded * self.geometry.block_size
         buf = np.zeros(total, dtype=np.uint8)
         src = np.asarray(payload, dtype=np.uint8)
-        n = min(src.shape[0], total)
+        n = min(src.shape[0], nblocks * self.geometry.block_size)
         buf[:n] = src[:n]
-        return _device_pipeline_jit(
+        full = _device_pipeline_jit(
             jnp.asarray(buf),
             geo=self.geometry,
-            num_blocks=nblocks,
+            num_blocks=nb_padded,
             bits_per_sample=h.bits_per_sample,
             ms=h.ch_process_method == CH_PROCESS_MS,
-            num_samples=h.num_samples,
+            num_samples=nb_padded * h.num_samples_per_block,
             engine=self.engine,
         )
+        return full[:, : h.num_samples]
 
     def decode_time_range(
         self, payload: np.ndarray, start_seconds: float, end_seconds: float

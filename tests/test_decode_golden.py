@@ -79,3 +79,26 @@ def test_decode_time_range(fixture_dir):
     s0 = int(0.1 * header.sampling_rate)
     s1 = int(0.25 * header.sampling_rate)
     np.testing.assert_array_equal(got, whole[:, s0:s1])
+
+
+def test_ondevice_bucketed_decode(fixture_dir):
+    """Bucketed on-device pipeline decodes goldens bit-exactly, and nearby
+    file lengths share a compiled shape."""
+    import numpy as np
+
+    from aad_tpu import FILE_HEADER_SIZE, Decoder, decode_header
+    from aad_tpu.codec.decoder import _bucket_blocks
+    from aad_tpu.format.wav import read_wav
+
+    data = (fixture_dir / "sin300Hz.aad").read_bytes()
+    dec = Decoder.from_header(decode_header(data), engine="scan")
+    payload = np.frombuffer(data, dtype=np.uint8)[FILE_HEADER_SIZE:]
+    pcm = np.asarray(dec.decode_payload_ondevice(payload))
+    _, golden = read_wav(str(fixture_dir / "sin300Hz_decoded.wav"))
+    np.testing.assert_array_equal(pcm, golden >> 16)
+
+    # bucketing collapses nearby block counts
+    assert _bucket_blocks(25) == _bucket_blocks(26)
+    assert _bucket_blocks(5) == 5  # tiny files unbucketed
+    for n in (1, 9, 100, 5000):
+        assert _bucket_blocks(n) >= n
