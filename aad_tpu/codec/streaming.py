@@ -216,8 +216,14 @@ class StreamingDecoder:
             return self._empty()
 
         from ..ops.decode import decode_blocks, ms_to_lr
+        from .decoder import _bucket_blocks
 
-        blocks = np.stack(block_rows)  # (B, block_size)
+        # Bucket the batch size so varying push cadences reuse compiled
+        # shapes; padding rows decode garbage that is never emitted.
+        n_real = len(block_rows)
+        for _ in range(_bucket_blocks(n_real) - n_real):
+            block_rows.append(np.zeros(geo.block_size, dtype=np.uint8))
+        blocks = np.stack(block_rows)  # (B_padded, block_size)
         states = framing.parse_block_headers(blocks, geo)
         codes = framing.unpack_codes(
             blocks[:, geo.header_bytes : geo.header_bytes + geo.data_bytes], geo
