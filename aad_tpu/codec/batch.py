@@ -70,15 +70,25 @@ def decode_batch(
             spans.append((start, B, C, Ti))
             start += B * C
 
+        # bucket the lane count so differing piles reuse compiled shapes
+        from .decoder import _bucket_blocks
+
+        L_real = start
+        L_pad = _bucket_blocks(L_real)
+        pad = L_pad - L_real
         samples = decode_blocks(
-            jnp.asarray(np.concatenate(lanes_codes)),
-            jnp.asarray(np.concatenate(lanes_si)),
-            jnp.asarray(np.concatenate(lanes_w)),
-            jnp.asarray(np.concatenate(lanes_h)),
+            jnp.asarray(np.concatenate(
+                lanes_codes + [np.zeros((pad, T), np.uint8)])),
+            jnp.asarray(np.concatenate(
+                lanes_si + [np.zeros(pad, np.int32)])),
+            jnp.asarray(np.concatenate(
+                lanes_w + [np.zeros((pad, 4), np.int32)])),
+            jnp.asarray(np.concatenate(
+                lanes_h + [np.zeros((pad, 4), np.int32)])),
             bits_per_sample=bps,
             engine=engine,
         )
-        samples = np.asarray(samples)  # (L, 4 + T)
+        samples = np.asarray(samples)[:L_real]  # (L, 4 + T)
 
         for i, (off, B, C, Ti) in zip(idxs, spans):
             h = parsed[i][0]
