@@ -45,6 +45,13 @@ def make_mesh(n_devices: int | None = None, axis_names=("dp", "sp")) -> Mesh:
     """
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(
+            f"make_mesh: requested {n} devices but only {len(devs)} available "
+            f"({devs[0].platform}). For a virtual CPU mesh set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} and force "
+            "the cpu platform before JAX backend init."
+        )
     devs = devs[:n]
     sp = 1
     for cand in (2, 4):
