@@ -79,49 +79,24 @@ def _device_pipeline(
     from ..format.framing import parse_block_headers
     from ..ops.bitpack import unpack_codes
 
-    from ..ops.bitpack import supports_direct_words, unpack_to_code_words
-
     blocks = payload.reshape(num_blocks, geo.block_size)
     states = parse_block_headers(blocks, geo)
     data = blocks[:, geo.header_bytes : geo.header_bytes + geo.data_bytes]
-    C = geo.num_channels
-    B = num_blocks
-    T = geo.codes_per_block
     # Channel-major lane order: transposing (B, C, ...) -> (C, B, ...) here
     # moves whole contiguous rows (cheap); the final (C, B, S) -> (C, B*S)
     # flatten is then a free reshape instead of a 4-byte-granular relayout.
     si = jnp.swapaxes(states.step_index, 0, 1)
     wt = jnp.swapaxes(states.weight, 0, 1)
     hi = jnp.swapaxes(states.history, 0, 1)
-
-    # NOTE: a word-space unpack fast path exists (ops.bitpack.
-    # unpack_to_code_words + ops.pallas_decode.decode_fused_words) but
-    # measured slower end-to-end than the u8 unpack on current XLA (u8->u32
-    # bitcast lowering), so it is not wired in here.
-    if False and engine == "fused" and supports_direct_words(geo):
-        from ..ops.pallas_decode import decode_fused_words
-
-        words = unpack_to_code_words(data, geo)  # (C*B, W), channel-major
-        body = decode_fused_words(
-            words,
-            si.reshape(C * B),
-            hi.reshape(C * B, 4),
-            wt.reshape(C * B, 4),
-            T,
-            bits_per_sample=bits_per_sample,
-        ).reshape(C, B, T)
-        head = hi[..., ::-1]
-        samples = jnp.concatenate([head, body], axis=-1)  # (C, B, 4 + T)
-    else:
-        codes = unpack_codes(data, geo)
-        samples = decode_blocks(
-            jnp.swapaxes(codes, 0, 1),
-            si,
-            wt,
-            hi,
-            bits_per_sample=bits_per_sample,
-            engine=engine,
-        )  # (C, B, 4 + T)
+    codes = unpack_codes(data, geo)
+    samples = decode_blocks(
+        jnp.swapaxes(codes, 0, 1),
+        si,
+        wt,
+        hi,
+        bits_per_sample=bits_per_sample,
+        engine=engine,
+    )  # (C, B, 4 + T)
     if ms:
         from ..ops import cseman as cs
 
@@ -131,6 +106,90 @@ def _device_pipeline(
         )
     pcm = samples.reshape(samples.shape[0], -1)
     return pcm[:, :num_samples]
+
+
+def _device_pipeline_words(
+    words,
+    *,
+    geo: BlockGeometry,
+    num_blocks: int,
+    bits_per_sample: int,
+    ms: bool,
+    engine: str,
+):
+    """Whole decode on device from u32 wire words (no u8 tensors anywhere).
+
+    ``words`` is the host-reinterpreted (num_blocks, words_per_block) uint32
+    wire view (ops.wire32.payload_to_words). Header parse is single-column
+    shift/masks; the code permutation transposes once in compact word space;
+    the fused kernel consumes the words time-major with zero extra relayout.
+
+    Returns samples **lane-major** with all of channel 0's blocks first:
+    (C * num_blocks, nspb) int16, or — fused engine, non-MS — packed
+    (C * num_blocks, nspb // 2) uint32 sample-pair words (byte-identical to
+    the int16 rows; host ``.view(int16)`` is free). The flat sample stream
+    is already channel-concatenated — the caller reinterprets it as
+    (C, B*nspb) with a free host-side view. Returning (C, N) from the device
+    instead forces XLA to re-tile the whole output into a T(2,128) layout
+    through a pathological 2-pass while loop (measured 4.6 ms of a 6 ms
+    pipeline at 57.6 M samples).
+    """
+    from ..ops.wire32 import (
+        kernel_words_to_codes,
+        parse_block_headers_u32,
+        wire_to_kernel_words,
+    )
+
+    C = geo.num_channels
+    B = num_blocks
+    T = geo.codes_per_block
+    states = parse_block_headers_u32(words, geo)
+    si = states.step_index.T.reshape(C * B)
+    wt = jnp.swapaxes(states.weight, 0, 1).reshape(C * B, 4)
+    hi = jnp.swapaxes(states.history, 0, 1).reshape(C * B, 4)
+
+    kw = wire_to_kernel_words(words, geo)  # (Wk, C*B) time-major
+    if engine == "fused":
+        from ..ops.pallas_decode import decode_words_timemajor
+
+        # The kernel emits the 4 header samples inline, so its rows are
+        # complete nspb-sample blocks — no XLA-side head concatenation.
+        # Without MS the result stays in packed sample-pair words: those are
+        # byte-identical to the int16 sample rows (free host view), so the
+        # device-side unpack pass disappears entirely.
+        samples = decode_words_timemajor(
+            kw, si, hi, wt, T + 4, bits_per_sample=bits_per_sample,
+            with_head=True, packed_out=not ms,
+        )
+        if not ms:
+            # Flat 1-D: a 1-D output pins the element order (and its layout
+            # is unique), so XLA cannot hand back a column-major buffer that
+            # would force a hidden host-side copy on reshape.
+            return samples.reshape(-1)  # C*B*nspb//2 u32 sample-pair words
+    else:
+        from ..ops.decode import compute_qdiffs, lms_scan
+
+        codes = kernel_words_to_codes(kw.T, T)
+        qdiffs = compute_qdiffs(codes, si, bits_per_sample)
+        if engine == "pallas":
+            from ..ops.pallas_lms import lms_pallas
+
+            body = lms_pallas(qdiffs, hi, wt)
+        else:
+            body = lms_scan(qdiffs, hi, wt)
+        samples = jnp.concatenate(
+            [hi[:, ::-1], body], axis=-1
+        ).astype(jnp.int16)  # (C*B, nspb); int16-valued by format
+    if ms:
+        from ..ops import cseman as cs
+
+        # Recombine in int32 (mid +/- side overflows int16), write int16.
+        mid = samples[:B].astype(jnp.int32)
+        side = samples[B:].astype(jnp.int32)
+        samples = jnp.concatenate(
+            [cs.clip16(mid + side), cs.clip16(mid - side)], axis=0
+        ).astype(jnp.int16)
+    return samples.reshape(-1)  # flat: unique layout, free host view
 
 
 def _bucket_blocks(n: int) -> int:
@@ -155,6 +214,17 @@ _device_pipeline_jit = jax.jit(
         "bits_per_sample",
         "ms",
         "num_samples",
+        "engine",
+    ),
+)
+
+_device_pipeline_words_jit = jax.jit(
+    _device_pipeline_words,
+    static_argnames=(
+        "geo",
+        "num_blocks",
+        "bits_per_sample",
+        "ms",
         "engine",
     ),
 )
@@ -209,12 +279,14 @@ class Decoder:
     def decode_payload(self, payload: np.ndarray) -> jax.Array:
         return self.decode_framed(self.frame(payload))
 
-    def decode_payload_ondevice(self, payload, bucket: bool = True) -> jax.Array:
+    def decode_payload_ondevice(self, payload, bucket: bool = True):
         """Fully fused on-device decode (bitstream parsing included).
 
-        ``payload`` is the post-header byte stream; it is zero-padded to a
-        whole number of blocks host-side (cheap) and everything else runs in
-        one jitted device computation.
+        ``payload`` is the post-header byte stream; the host reinterprets it
+        as u32 wire words (a free numpy view) and everything else runs in
+        one jitted device computation. Returns (C, num_samples) **int16**
+        (samples are int16-valued by format; int16 output halves the HBM
+        writes) as a zero-copy numpy view of the transferred lane buffer.
 
         With ``bucket=True`` (default) the block count is padded up to a
         geometric bucket and the sample count left dynamic, so arbitrary
@@ -222,25 +294,53 @@ class Decoder:
         length — padding blocks decode garbage that is sliced away.
         """
         from ..format.geometry import num_blocks_for
+        from ..ops.wire32 import payload_to_words, supports_wire32
 
         h = self.header
+        geo = self.geometry
         nblocks = num_blocks_for(h.num_samples, h.num_samples_per_block)
         nb_padded = _bucket_blocks(nblocks) if bucket else nblocks
-        total = nb_padded * self.geometry.block_size
+        if supports_wire32(geo):
+            if self.engine == "fused":
+                # The time-major kernel entry wants C*B to be a whole number
+                # of (8, 128) lane tiles; padding blocks decode garbage that
+                # is sliced away (the kernel pads internally regardless).
+                lane_mult = max(1, 1024 // geo.num_channels)
+                nb_padded = -(-nb_padded // lane_mult) * lane_mult
+            words = payload_to_words(
+                np.asarray(payload, dtype=np.uint8), geo, nb_padded
+            )
+            lanes = _device_pipeline_words_jit(
+                jnp.asarray(words),
+                geo=geo,
+                num_blocks=nb_padded,
+                bits_per_sample=h.bits_per_sample,
+                ms=h.ch_process_method == CH_PROCESS_MS,
+                engine=self.engine,
+            )
+            # Lane-major -> (C, num_samples): a free host view (device-side
+            # channel re-tiling is pathological, see _device_pipeline_words).
+            # Packed uint32 sample-pair rows are byte-identical int16 rows.
+            arr = np.asarray(lanes)
+            if arr.dtype == np.uint32:
+                arr = arr.view("<i2")
+            full = arr.reshape(h.num_channels, -1)
+            return full[:, : h.num_samples]
+        total = nb_padded * geo.block_size
         buf = np.zeros(total, dtype=np.uint8)
         src = np.asarray(payload, dtype=np.uint8)
-        n = min(src.shape[0], nblocks * self.geometry.block_size)
+        n = min(src.shape[0], nblocks * geo.block_size)
         buf[:n] = src[:n]
         full = _device_pipeline_jit(
             jnp.asarray(buf),
-            geo=self.geometry,
+            geo=geo,
             num_blocks=nb_padded,
             bits_per_sample=h.bits_per_sample,
             ms=h.ch_process_method == CH_PROCESS_MS,
             num_samples=nb_padded * h.num_samples_per_block,
             engine=self.engine,
         )
-        return full[:, : h.num_samples]
+        return np.asarray(full[:, : h.num_samples]).astype(np.int16)
 
     def decode_time_range(
         self, payload: np.ndarray, start_seconds: float, end_seconds: float
@@ -340,5 +440,5 @@ def decode(data: bytes | np.ndarray, engine: str = "auto") -> tuple[HeaderInfo, 
         return native.decode(buf)
 
     dec = Decoder.from_header(header, engine=engine)
-    pcm = dec.decode_payload(buf[FILE_HEADER_SIZE:])
-    return header, np.asarray(pcm)
+    pcm = dec.decode_payload_ondevice(buf[FILE_HEADER_SIZE:])
+    return header, np.asarray(pcm, dtype=np.int32)

@@ -187,7 +187,26 @@ def _decode_word_step(
     return outs, (h0, h1, h2, h3, w0, w1, w2, w3, idx)
 
 
-def _make_kernel(bits_per_sample: int, corrections: tuple[tuple[int, int], ...]):
+def _pack_pair(lo_s, hi_s):
+    """Two int16-valued samples -> one output word (LSB-first)."""
+    return (hi_s << 16) | (lo_s & jnp.int32(0xFFFF))
+
+
+def _make_kernel(
+    bits_per_sample: int,
+    corrections: tuple[tuple[int, int], ...],
+    with_head: bool = False,
+):
+    """Fused decode kernel; ``with_head`` emits the 4 header samples inline.
+
+    With ``with_head`` the per-lane output stream is
+    ``[hist3 hist2 | hist1 hist0 | s0 s1 | ...]`` — i.e. exactly the block's
+    nspb samples in order (reference: src/aad_decoder.c:386-391) — by
+    shifting every code word's output two rows down and carrying the two
+    spilled words into the next grid step in scratch. This deletes the
+    XLA-side head concatenation, a full minor-axis pass over the output.
+    """
+
     def kernel(words_ref, idx_ref, h_ref, w_ref, out_ref, state):
         w_chunk = pl.program_id(1)
 
@@ -197,6 +216,17 @@ def _make_kernel(bits_per_sample: int, corrections: tuple[tuple[int, int], ...])
                 state[k] = h_ref[0, k]
                 state[4 + k] = w_ref[0, k]
             state[8] = idx_ref[0, 0]
+            if with_head:
+                # head words: samples (hist3, hist2) then (hist1, hist0)
+                state[9] = _pack_pair(h_ref[0, 3], h_ref[0, 2])
+                state[10] = _pack_pair(h_ref[0, 1], h_ref[0, 0])
+
+        row_shift = 2 if with_head else 0
+        n_loop = W_CHUNK - 1 if with_head else W_CHUNK
+
+        if with_head:
+            out_ref[0, 0] = state[9]
+            out_ref[1, 0] = state[10]
 
         def word_step(wi, carry):
             word = words_ref[wi, 0]
@@ -206,13 +236,25 @@ def _make_kernel(bits_per_sample: int, corrections: tuple[tuple[int, int], ...])
             )
             # pack pairs of int16-valued samples into output words
             for j in range(4):
-                lo = outs[2 * j] & jnp.int32(0xFFFF)
-                hi = outs[2 * j + 1] << 16
-                out_ref[wi * 4 + j, 0] = hi | lo
+                out_ref[wi * 4 + j + row_shift, 0] = _pack_pair(
+                    outs[2 * j], outs[2 * j + 1]
+                )
             return carry
 
         carry = tuple(state[k] for k in range(9))
-        carry = lax.fori_loop(0, W_CHUNK, word_step, carry)
+        carry = lax.fori_loop(0, n_loop, word_step, carry)
+        if with_head:
+            # final word of the chunk: two rows fit, two spill to the next
+            # grid step (the last chunk's spill is pad garbage, dropped by
+            # the caller's sample slice).
+            outs, carry = _decode_word_step(
+                words_ref[W_CHUNK - 1, 0], carry,
+                bits_per_sample=bits_per_sample, corrections=corrections,
+            )
+            out_ref[W_CHUNK * 4 - 2, 0] = _pack_pair(outs[0], outs[1])
+            out_ref[W_CHUNK * 4 - 1, 0] = _pack_pair(outs[2], outs[3])
+            state[9] = _pack_pair(outs[4], outs[5])
+            state[10] = _pack_pair(outs[6], outs[7])
         for k in range(9):
             state[k] = carry[k]
 
@@ -237,6 +279,19 @@ def unpack_sample_words(words: jax.Array) -> jax.Array:
     lo = (w << 16) >> 16  # arithmetic: sign-extend the low half
     hi = w >> 16
     return jnp.stack([lo, hi], axis=-1).reshape(w.shape[0], -1)
+
+
+def unpack_sample_words_i16(words: jax.Array) -> jax.Array:
+    """(L, W2) u32 sample-pair words -> (L, 2*W2) int16.
+
+    A pure bitcast: the packed word is (hi << 16) | (lo & 0xFFFF) with lo
+    the earlier sample, which is exactly little-endian int16 pair order.
+    The int32 variant above costs four full XLA passes (shift x2, stack
+    interleave, re-tile — measured 3.9 ms of a 5.5 ms pipeline at 57.6 M
+    samples); samples are int16-valued by format, so this is lossless.
+    """
+    w = lax.bitcast_convert_type(words, jnp.int16)  # (L, W2, 2)
+    return w.reshape(w.shape[0], -1)
 
 
 def decode_fused(
@@ -333,6 +388,77 @@ def _decode_words(
 
     n_tiles = Lp // TILE
     words_t = words.reshape(n_tiles, SUBLANES, LANES, Wp).transpose(3, 0, 1, 2)
+    return _decode_tiled(
+        words_t, ii, h, w, T, bits_per_sample, corrections
+    )[:L]
+
+
+def decode_words_timemajor(
+    words_tm: jax.Array,
+    step_index: jax.Array,
+    history: jax.Array,
+    weight: jax.Array,
+    num_out: int,
+    *,
+    bits_per_sample: int,
+    with_head: bool = True,
+    packed_out: bool = False,
+) -> jax.Array:
+    """As decode_fused_words but with *time-major* (W, L) input words.
+
+    ``L`` must already be a multiple of TILE and ``W`` a multiple of W_CHUNK
+    (the wire32 pipeline pads both host-side so every reshape here is free).
+    Skipping the (L, W) -> (W, lanes) transpose is the point: the wire32
+    path transposes once in compact word space instead. With ``with_head``
+    (default) the kernel emits the four header samples inline, so the
+    result rows are complete nspb-sample blocks; ``num_out`` is the sample
+    count to keep per lane (nspb, or codes_per_block without head).
+
+    With ``packed_out`` the result stays in the kernel's packed sample-pair
+    format: (L, num_out//2) uint32, two little-endian int16 samples per
+    word — **byte-identical** to the int16 sample array (a free host
+    ``.view(int16)``), skipping the device-side unpack pass entirely.
+    """
+    corrections = stepsize_corrections()
+    return _decode_words_tm_impl(
+        words_tm, step_index, history, weight, num_out,
+        bits_per_sample, corrections, with_head, packed_out,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "T", "bits_per_sample", "corrections", "with_head", "packed_out"
+    ),
+)
+def _decode_words_tm_impl(
+    words_tm, step_index, history, weight, T, bits_per_sample, corrections,
+    with_head, packed_out=False,
+):
+    W, L = words_tm.shape
+    if L % TILE:
+        raise ValueError(f"lane count {L} must be a multiple of {TILE}")
+    Wp = -(-W // W_CHUNK) * W_CHUNK
+    if Wp != W:
+        words_tm = jnp.pad(words_tm, ((0, Wp - W), (0, 0)))
+    n_tiles = L // TILE
+    words_t = words_tm.reshape(Wp, n_tiles, SUBLANES, LANES)
+    ii = step_index.reshape(L).astype(jnp.int32)
+    return _decode_tiled(
+        words_t, ii, history.reshape(L, 4), weight.reshape(L, 4),
+        T, bits_per_sample, corrections, with_head=with_head,
+        as_int16=True, packed_out=packed_out,
+    )
+
+
+def _decode_tiled(
+    words_t, ii, h, w, T, bits_per_sample, corrections, with_head=False,
+    as_int16=False, packed_out=False,
+):
+    """Shared kernel launch: (Wp, tiles, 8, 128) words + (Lp,...) states."""
+    Wp, n_tiles = words_t.shape[0], words_t.shape[1]
+    Lp = n_tiles * TILE
     ii_t = ii.reshape(n_tiles, 1, SUBLANES, LANES)
     h_t = h.T.reshape(4, n_tiles, SUBLANES, LANES).transpose(1, 0, 2, 3)
     w_t = w.T.reshape(4, n_tiles, SUBLANES, LANES).transpose(1, 0, 2, 3)
@@ -340,7 +466,7 @@ def _decode_words(
     lane_block = lambda i, j: (i, 0, 0, 0)
     grid = (n_tiles, Wp // W_CHUNK)
     out = pl.pallas_call(
-        _make_kernel(bits_per_sample, corrections),
+        _make_kernel(bits_per_sample, corrections, with_head=with_head),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -363,15 +489,19 @@ def _decode_words(
         out_shape=jax.ShapeDtypeStruct(
             (Wp * 4, n_tiles, SUBLANES, LANES), jnp.int32
         ),
-        scratch_shapes=[pltpu.VMEM((9, SUBLANES, LANES), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((11 if with_head else 9, SUBLANES, LANES), jnp.int32)
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
     )(words_t, ii_t, h_t, w_t)
 
-    # (Wp*4, tiles, 8, 128) sample-pair words -> (L, 8*Wp) samples
-    packed = out.transpose(1, 2, 3, 0).reshape(Lp, Wp * 4)[:L]
-    samples = unpack_sample_words(
-        lax.bitcast_convert_type(packed, jnp.uint32)
-    )[:, :T]
+    # (Wp*4, tiles, 8, 128) sample-pair words -> (Lp, 8*Wp) samples
+    packed = out.transpose(1, 2, 3, 0).reshape(Lp, Wp * 4)
+    if packed_out:
+        assert T % 2 == 0
+        return lax.bitcast_convert_type(packed[:, : T // 2], jnp.uint32)
+    unpack = unpack_sample_words_i16 if as_int16 else unpack_sample_words
+    samples = unpack(lax.bitcast_convert_type(packed, jnp.uint32))[:, :T]
     return samples

@@ -100,9 +100,12 @@ def measure_reference_baseline() -> float:
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from aad_tpu import FILE_HEADER_SIZE, decode_header
-    from aad_tpu.codec.decoder import Decoder
+    from aad_tpu.codec.decoder import Decoder, _device_pipeline_words
+    from aad_tpu.ops.decode import resolve_engine
+    from aad_tpu.ops.wire32 import payload_to_words
 
     num_samples = RATE * SECONDS
     data, _ = build_synthetic_stream(num_samples)
@@ -110,42 +113,44 @@ def main() -> None:
     dec = Decoder.from_header(header)
 
     payload = np.frombuffer(data, dtype=np.uint8)[FILE_HEADER_SIZE:]
-    total = len(payload)
     nblocks = -(-header.num_samples // header.num_samples_per_block)
-    padded = np.zeros(nblocks * dec.geometry.block_size, dtype=np.uint8)
-    padded[: total] = payload
-    dev = jnp.asarray(padded)
-
-    from aad_tpu.codec.decoder import _device_pipeline_jit
+    # lane-tile multiple for the time-major fused kernel entry
+    nblocks = -(-nblocks // 512) * 512
+    words = jnp.asarray(payload_to_words(payload, dec.geometry, nblocks))
 
     kwargs = dict(
         geo=dec.geometry,
         num_blocks=nblocks,
         bits_per_sample=header.bits_per_sample,
         ms=False,
-        num_samples=header.num_samples,
-        engine="auto",
+        engine=resolve_engine("auto"),
     )
-    from aad_tpu.codec.decoder import _device_pipeline
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(payload, token):
-        # Data-dependency chain lives entirely on device: one byte of the
-        # payload depends on the previous iteration's output, so iterations
-        # serialise without any per-iteration host round-trips. Donating the
-        # payload makes the one-byte update in-place instead of a copy.
-        p = payload.at[0].set((token & 1).astype(jnp.uint8))
-        pcm = _device_pipeline(p, **kwargs)
-        return p, pcm[0, 0].astype(jnp.int32)
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+    def run(words, token, iters):
+        # The whole iteration loop runs in ONE dispatch: each iteration
+        # perturbs one payload word with the previous iteration's token
+        # (serialising the chain) and the full decoded output rides in the
+        # loop carry, so XLA must materialise every iteration's samples —
+        # no dead-code elimination, no per-iteration tunnel round trips.
+        def body(_, carry):
+            w, out, tok = carry
+            w = w.at[0, 9].set((tok & 1).astype(jnp.uint32))
+            out = _device_pipeline_words(w, **kwargs)
+            return (w, out, out[-1].astype(jnp.int32))
 
-    dev, token = step(dev, jnp.int32(0))
+        out0 = _device_pipeline_words(words, **kwargs)
+        return lax.fori_loop(
+            0, iters, body, (words, out0, out0[-1].astype(jnp.int32))
+        )
+
+    words, out, token = run(words, jnp.int32(0), ITERS)
     float(token)  # warm-up + materialise
 
     t0 = time.time()
-    for _ in range(ITERS):
-        dev, token = step(dev, token)
+    words, out, token = run(words, token, ITERS)
     float(token)  # force the full chain
-    dt = (time.time() - t0) / ITERS
+    dt = (time.time() - t0) / (ITERS + 1)  # fori body + the init pipeline
 
     samples = header.num_samples * header.num_channels
     value = samples / dt
