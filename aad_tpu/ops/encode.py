@@ -303,6 +303,7 @@ def encode_stream_blocks_pallas(
     *,
     carry: tuple[CodecState, Array] | None = None,
     blocks_before: int | Array = 0,
+    _force_per_pass: bool = False,
 ):
     """Pallas-engined sequential block encode.
 
@@ -320,7 +321,7 @@ def encode_stream_blocks_pallas(
     nspb_static = blocks.shape[-1]
     from .pallas_encode_fused import encode_stream_fused, supports_fused_encode
 
-    if supports_fused_encode(nspb_static):
+    if supports_fused_encode(nspb_static) and not _force_per_pass:
         return encode_stream_fused(
             blocks, valid, bits_per_sample, num_trials,
             carry=carry, blocks_before=blocks_before,

@@ -47,6 +47,7 @@ from ..constants import (
     TABLES_FLOAT_DIGITS,
 )
 from ..tables import INDEX_TABLES, STEPSIZE_TABLE
+from .pallas_common import interpret_mode
 
 SUBLANES = 8
 LANES = 128
@@ -93,6 +94,7 @@ def stepsize_corrections() -> tuple[tuple[int, int], ...]:
         out_shape=jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret_mode(),
     )(jnp.asarray(slots))
     got = np.asarray(out).reshape(-1)[:256]
     want = np.asarray(STEPSIZE_TABLE)
@@ -495,6 +497,7 @@ def _decode_tiled(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
+        interpret=interpret_mode(),
     )(words_t, ii_t, h_t, w_t)
 
     # (Wp*4, tiles, 8, 128) sample-pair words -> (Lp, 8*Wp) samples

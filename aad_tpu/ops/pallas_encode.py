@@ -38,6 +38,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_common import interpret_mode
+
 from ..constants import (
     FILTER_ORDER,
     FIXEDPOINT_0_5,
@@ -307,6 +309,7 @@ def _encode_scan_tiles_impl(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
+        interpret=interpret_mode(),
     )(samples_tm, ii_t, h_t, w_t, va_t)
 
     if emit_codes:

@@ -37,6 +37,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_common import interpret_mode
+
 from ..constants import (
     FILTER_ORDER,
     FIXEDPOINT_0_5,
@@ -393,6 +395,7 @@ def _fused_impl(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
+        interpret=interpret_mode(),
     )(cur_w, prev_w, cur_h, prev_h, va_t, ii_t, h_t, w_t,
       jnp.reshape(blocks_before, (1,)))
 

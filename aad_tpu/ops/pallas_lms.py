@@ -30,6 +30,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_common import interpret_mode
+
 from ..constants import FIXEDPOINT_0_5, FIXEDPOINT_DIGITS, INT16_MAX, INT16_MIN, LMSFILTER_SHIFT
 
 SUBLANES = 8
@@ -138,6 +140,7 @@ def lms_pallas(qdiffs: jax.Array, history: jax.Array, weight: jax.Array) -> jax.
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
+        interpret=interpret_mode(),
     )(qd_t, h_t, w_t)
 
     samples = out.transpose(1, 2, 3, 0).reshape(Lp, Tp)[:L, :T]

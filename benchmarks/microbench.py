@@ -1,14 +1,16 @@
 #!/usr/bin/env python
 """Per-stage decode/encode micro-benchmarks (JSON lines).
 
-Splits the pipelines into stages with correct async-dispatch methodology
-(in-jit token chains — see docs/DESIGN.md §6) so regressions localize.
+Splits the wire32 decode pipeline into stages with correct async-dispatch
+methodology (in-jit token chains, full outputs returned so nothing is
+dead-code eliminated — see docs/DESIGN.md §6) so regressions localize.
 
 Usage: python benchmarks/microbench.py [seconds-of-audio]
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import pathlib
 import sys
@@ -25,11 +27,14 @@ def main() -> None:
 
     import bench as B
     from aad_tpu import FILE_HEADER_SIZE, decode_header
-    from aad_tpu.codec.decoder import Decoder, _device_pipeline
-    from aad_tpu.format.framing import parse_block_headers
-    from aad_tpu.ops.bitpack import unpack_codes
-    from aad_tpu.ops.decode import decode_blocks, resolve_engine
-    from aad_tpu.ops.pallas_decode import pack_code_words
+    from aad_tpu.codec.decoder import Decoder, _device_pipeline_words
+    from aad_tpu.ops.decode import resolve_engine
+    from aad_tpu.ops.pallas_decode import decode_words_timemajor
+    from aad_tpu.ops.wire32 import (
+        parse_block_headers_u32,
+        payload_to_words,
+        wire_to_kernel_words,
+    )
 
     seconds = int(sys.argv[1]) if len(sys.argv) > 1 else 120
     data, _ = B.build_synthetic_stream(48000 * seconds)
@@ -37,83 +42,84 @@ def main() -> None:
     dec = Decoder.from_header(header)
     geo = dec.geometry
     nblocks = -(-header.num_samples // header.num_samples_per_block)
-    padded = np.zeros(nblocks * geo.block_size, dtype=np.uint8)
-    pl = np.frombuffer(data, dtype=np.uint8)[FILE_HEADER_SIZE:]
-    padded[: len(pl)] = pl
-    dev = jnp.asarray(padded)
+    nblocks = -(-nblocks // 512) * 512
+    payload = np.frombuffer(data, dtype=np.uint8)[FILE_HEADER_SIZE:]
+    words_np = payload_to_words(payload, geo, nblocks)
     total = header.num_samples * header.num_channels
     engine = resolve_engine("auto")
+    T = geo.codes_per_block
 
-    def timed(label, fn, iters=8):
-        f = jax.jit(fn)
-        tok = f(dev, jnp.int32(0))
+    def timed(label, fn, iters=16):
+        from jax import lax
+
+        # Whole iteration loop in ONE dispatch (the tunnel's per-dispatch
+        # cost is ~3 ms, larger than most stages); stage outputs ride in
+        # the loop carry so nothing is dead-code eliminated.
+        @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+        def run(w, tok, n):
+            def body(_, carry):
+                w, out, tok = carry
+                return fn(w, tok)
+
+            w, out0, tok = fn(w, tok)
+            return lax.fori_loop(0, n, body, (w, out0, tok))
+
+        # fresh device copy per stage: the donated buffer is consumed
+        w, out, tok = run(jnp.asarray(words_np), jnp.int32(0), iters)
         float(tok)
         t0 = time.time()
-        for _ in range(iters):
-            tok = f(dev, tok)
+        w, out, tok = run(w, tok, iters)
         float(tok)
-        dt = (time.time() - t0) / iters
+        dt = (time.time() - t0) / (iters + 1)
         print(json.dumps({
             "stage": label,
             "ms": round(dt * 1e3, 3),
             "gsamples_per_sec": round(total / dt / 1e9, 3),
         }))
+        return out
 
-    def tweak(p, tok):
-        return p.at[0].set((tok & 1).astype(jnp.uint8))
+    def tweak(w, tok):
+        return w.at[0, 9].set((tok & 1).astype(jnp.uint32))
 
-    def s_parse(p, tok):
-        p = tweak(p, tok)
-        st = parse_block_headers(p.reshape(nblocks, geo.block_size), geo)
-        return st.step_index[0, 0].astype(jnp.int32)
+    def s_parse(w, tok):
+        w = tweak(w, tok)
+        st = parse_block_headers_u32(w, geo)
+        return w, st, st.step_index[0, 0].astype(jnp.int32)
 
-    def s_unpack(p, tok):
-        p = tweak(p, tok)
-        blocks = p.reshape(nblocks, geo.block_size)
-        d = blocks[:, geo.header_bytes : geo.header_bytes + geo.data_bytes]
-        codes = unpack_codes(d, geo)
-        words = pack_code_words(
-            jnp.swapaxes(codes, 0, 1).reshape(
-                geo.num_channels * nblocks, -1
-            )
-        )
-        return words[0, 0].astype(jnp.int32)
+    def s_kw(w, tok):
+        w = tweak(w, tok)
+        kw = wire_to_kernel_words(w, geo)
+        return w, kw, kw[0, 0].astype(jnp.int32)
 
-    def s_kernel(p, tok):
-        p = tweak(p, tok)
-        blocks = p.reshape(nblocks, geo.block_size)
-        st = parse_block_headers(blocks, geo)
-        d = blocks[:, geo.header_bytes : geo.header_bytes + geo.data_bytes]
-        codes = unpack_codes(d, geo)
-        out = decode_blocks(
-            jnp.swapaxes(codes, 0, 1),
-            jnp.swapaxes(st.step_index, 0, 1),
-            jnp.swapaxes(st.weight, 0, 1),
-            jnp.swapaxes(st.history, 0, 1),
+    def s_kernel(w, tok):
+        w = tweak(w, tok)
+        st = parse_block_headers_u32(w, geo)
+        kw = wire_to_kernel_words(w, geo)
+        C, Bn = geo.num_channels, nblocks
+        si = st.step_index.T.reshape(C * Bn)
+        hi = jnp.swapaxes(st.history, 0, 1).reshape(C * Bn, 4)
+        wt = jnp.swapaxes(st.weight, 0, 1).reshape(C * Bn, 4)
+        out = decode_words_timemajor(
+            kw, si, hi, wt, T + 4,
             bits_per_sample=header.bits_per_sample,
-            engine=engine,
+            with_head=True, packed_out=True,
         )
-        return out[0, 0, 0].astype(jnp.int32)
+        return w, out, out[0, -1].astype(jnp.int32)
 
-    def s_full(p, tok):
-        p = tweak(p, tok)
-        pcm = _device_pipeline(
-            p,
-            geo=geo,
-            num_blocks=nblocks,
-            bits_per_sample=header.bits_per_sample,
-            ms=False,
-            num_samples=header.num_samples,
-            engine=engine,
+    def s_full(w, tok):
+        w = tweak(w, tok)
+        out = _device_pipeline_words(
+            w, geo=geo, num_blocks=nblocks,
+            bits_per_sample=header.bits_per_sample, ms=False, engine=engine,
         )
-        return pcm[0, 0].astype(jnp.int32)
+        return w, out, out[-1].astype(jnp.int32)
 
     print(json.dumps({"config": {"seconds": seconds, "blocks": nblocks,
                                  "engine": engine, "samples": total}}))
-    timed("parse_headers", s_parse)
-    timed("unpack+pack_words", s_unpack)
-    timed("through_kernel", s_kernel)
-    timed("full_pipeline", s_full)
+    timed("parse_headers_u32", s_parse)
+    timed("wire_to_kernel_words", s_kw)
+    timed("through_kernel_packed", s_kernel)
+    timed("full_pipeline_flat", s_full)
 
 
 if __name__ == "__main__":
