@@ -19,11 +19,12 @@ The previous block's samples are re-read via a second input spec on the
 same array with a shifted index map (the trial search re-reads raw input,
 reference: src/aad_encoder.c:502-512).
 
-VMEM bounds this to blocks whose packed sample words fit twice (cur + prev)
-alongside the code output — true for every <=4-bit config with
-num_samples_per_block <= ~2100 (covers the default 1024-byte blocks at all
-bit depths except 3-bit's 2684-sample blocks, which fall back to the
-per-pass engine).
+Two word-residency strategies cover every geometry: blocks whose packed
+sample words fit VMEM twice over (cur + prev, double-buffered) use plain
+VMEM block specs; larger blocks (mono 3-bit 1024-byte: 2684 samples) keep
+their words in HBM and the kernel streams STREAM_CHUNK-word pieces through
+a VMEM scratch buffer by manual async DMA — same dependent-chain compute,
+bounded VMEM.
 """
 
 from __future__ import annotations
@@ -59,15 +60,24 @@ from .pallas_decode import (
     stepsize_corrections,
 )
 
-# VMEM budget: cur + prev packed words double-buffered + code words out.
-MAX_NSPB_FUSED = 2112
+# VMEM budget for the resident-block variant: cur + prev packed words
+# double-buffered + code words out. Above this the kernel switches to
+# manual chunked DMA (words stay in HBM; see _make_kernel stream_chunk),
+# so every geometry is supported in the single-execution path.
+MAX_NSPB_RESIDENT = 2112
+# HBM->VMEM chunk for the streaming variant (words; x2 samples each).
+STREAM_CHUNK = 256
 
 
 def supports_fused_encode(num_samples_per_block: int) -> bool:
-    return num_samples_per_block <= MAX_NSPB_FUSED
+    """Always true: large blocks stream their words by chunked DMA."""
+    return True
 
 
-def _make_kernel(bits_per_sample: int, corrections, num_trials: int, n_words: int, n_codes: int):
+def _make_kernel(
+    bits_per_sample: int, corrections, num_trials: int, n_words: int,
+    n_codes: int, stream_chunk: int | None = None,
+):
     signbit = 1 << (bits_per_sample - 1)
     absmask = signbit - 1
     wshift = FIXEDPOINT_DIGITS + LMSFILTER_SHIFT
@@ -77,9 +87,51 @@ def _make_kernel(bits_per_sample: int, corrections, num_trials: int, n_words: in
         cur_w_ref, prev_w_ref, cur_h_ref, prev_h_ref, valid_ref,
         idx_ref, h_ref, w_ref, bb_ref,
         codes_ref, hdr_ref,
-        state,
+        state, *stream_scratch,
     ):
         b = pl.program_id(1)
+        lane_tile = pl.program_id(0)
+
+        if stream_chunk is None:
+            def stream_words(words_ref, body, carry):
+                """Iterate (word_index, word, carry) over a VMEM-resident
+                block."""
+                return lax.fori_loop(
+                    0, n_words,
+                    lambda wi, c: body(wi, words_ref[0, wi, 0], c),
+                    carry,
+                )
+        else:
+            buf, sem = stream_scratch
+            n_chunks = n_words // stream_chunk
+
+            def stream_words(words_ref, body, carry):
+                """Iterate words of an HBM-resident block via chunked DMA.
+
+                Large blocks (3-bit 1024-byte geometry: 2684 samples) do not
+                fit VMEM twice over (cur+prev, double-buffered); streaming
+                ``stream_chunk``-word pieces bounds VMEM at ~1 MB while the
+                compute stays the same dependent chain.
+                """
+
+                def chunk_step(ci, c):
+                    cp = pltpu.make_async_copy(
+                        words_ref.at[
+                            b, pl.ds(ci * stream_chunk, stream_chunk),
+                            lane_tile,
+                        ],
+                        buf,
+                        sem,
+                    )
+                    cp.start()
+                    cp.wait()
+
+                    def inner(wj, c2):
+                        return body(ci * stream_chunk + wj, buf[wj], c2)
+
+                    return lax.fori_loop(0, stream_chunk, inner, c)
+
+                return lax.fori_loop(0, n_chunks, chunk_step, carry)
 
         @pl.when(b == 0)
         def _init():
@@ -141,9 +193,8 @@ def _make_kernel(bits_per_sample: int, corrections, num_trials: int, n_words: in
         def measure(st, words_ref, live_mask_fn):
             """Masked measure pass; returns (st', (sse_hi, sse_lo))."""
 
-            def body(wi, carry):
+            def body(wi, word, carry):
                 st, sh, sl = carry[:9], carry[9], carry[10]
-                word = words_ref[0, wi, 0]
                 lo = (word << 16) >> 16
                 hi = word >> 16
                 for k, sample in ((0, lo), (1, hi)):
@@ -160,7 +211,7 @@ def _make_kernel(bits_per_sample: int, corrections, num_trials: int, n_words: in
                 return (*st, sh, sl)
 
             zero = jnp.zeros(SHAPE, jnp.int32)
-            out = lax.fori_loop(0, n_words, body, (*st, zero, zero))
+            out = stream_words(words_ref, body, (*st, zero, zero))
             return out[:9], (out[9], out[10])
 
         def u64_less(a, b):
@@ -225,21 +276,31 @@ def _make_kernel(bits_per_sample: int, corrections, num_trials: int, n_words: in
         hdr_ref[0, 0, 9] = shift
 
         # ---- data section: encode whole padded block, emit code words ---
-        def enc_body(g, st):
-            code_word = jnp.zeros(SHAPE, jnp.int32)
-            for j in range(4):
-                word = cur_w_ref[0, g * 4 + j, 0]
-                lo = (word << 16) >> 16
-                hi = word >> 16
-                for k, sample in ((2 * j, lo), (2 * j + 1, hi)):
-                    code, _q, st2 = sample_step(sample, st)
-                    live = (g * 8 + k) < n_codes
-                    st = tuple(jnp.where(live, a, bb_) for a, bb_ in zip(st2, st))
-                    code_word = code_word | (code << (4 * k))
-            codes_ref[0, g, 0] = code_word
-            return st
+        # 4 input sample-pair words = 8 codes = one packed code word; the
+        # partial code word rides the stream carry and flushes every 4th
+        # input word.
+        def enc_word(wi, word, carry):
+            st, cw = carry[:9], carry[9]
+            j = wi & 3
+            lo = (word << 16) >> 16
+            hi = word >> 16
+            for k, sample in ((0, lo), (1, hi)):
+                code, _q, st2 = sample_step(sample, st)
+                live = (wi * 2 + k) < n_codes
+                st = tuple(jnp.where(live, a, b_) for a, b_ in zip(st2, st))
+                cw = cw | (code << (4 * (2 * j + k)))
 
-        st = lax.fori_loop(0, n_words // 4, enc_body, st)
+            @pl.when(j == 3)
+            def _flush():
+                codes_ref[0, wi // 4, 0] = cw
+
+            cw = jnp.where(j == 3, 0, cw)
+            return (*st, cw)
+
+        out = stream_words(
+            cur_w_ref, enc_word, (*st, jnp.zeros(SHAPE, jnp.int32))
+        )
+        st = out[:9]
         for k in range(9):
             state[k] = st[k]
 
@@ -323,6 +384,10 @@ def _fused_impl(
     B, L, nspb = flat.shape
     T = nspb - FILTER_ORDER
     W2 = -(-T // 8) * 4          # packed sample words per block (pad to 8 samples)
+    stream = nspb > MAX_NSPB_RESIDENT
+    if stream:
+        # chunked-DMA variant: words stay in HBM, pad to whole chunks
+        W2 = -(-W2 // STREAM_CHUNK) * STREAM_CHUNK
     W8 = W2 // 4                 # code words per block
 
     Lp = -(-L // TILE) * TILE
@@ -358,15 +423,29 @@ def _fused_impl(
 
     lane5 = lambda i, b: (b, i, 0, 0, 0)
     grid = (n_tiles, B)
-    codes_t, hdr_t = pl.pallas_call(
-        _make_kernel(bits_per_sample, corrections, num_trials, W2, T),
-        grid=grid,
-        in_specs=[
+    if stream:
+        words_specs = [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+        stream_scratch = [
+            pltpu.VMEM((STREAM_CHUNK, SUBLANES, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        words_specs = [
             pl.BlockSpec((1, W2, 1, SUBLANES, LANES),
                          lambda i, b: (b, 0, i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, W2, 1, SUBLANES, LANES),
                          lambda i, b: (b, 0, i, 0, 0),
                          memory_space=pltpu.VMEM),
+        ]
+        stream_scratch = []
+    codes_t, hdr_t = pl.pallas_call(
+        _make_kernel(bits_per_sample, corrections, num_trials, W2, T,
+                     stream_chunk=STREAM_CHUNK if stream else None),
+        grid=grid,
+        in_specs=words_specs + [
             pl.BlockSpec((1, 1, FILTER_ORDER, SUBLANES, LANES), lane5,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, FILTER_ORDER, SUBLANES, LANES), lane5,
@@ -391,7 +470,8 @@ def _fused_impl(
             jax.ShapeDtypeStruct((B, W8, n_tiles, SUBLANES, LANES), jnp.int32),
             jax.ShapeDtypeStruct((B, n_tiles, 10, SUBLANES, LANES), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((9, SUBLANES, LANES), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((9, SUBLANES, LANES), jnp.int32)]
+        + stream_scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),

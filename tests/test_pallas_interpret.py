@@ -131,6 +131,34 @@ def test_golden_fixture_fused_interpret(fixture_dir):
     np.testing.assert_array_equal(pcm, ref)
 
 
+def test_encode_fused_streaming_large_block():
+    """Chunked-DMA fused encode (nspb > resident VMEM budget) == scan.
+
+    The mono 3-bit 1024-byte geometry (2684 samples/block) exceeds the
+    resident kernel's VMEM budget; it must stream words from HBM and stay
+    bit-exact, including a ragged final block.
+    """
+    from aad_tpu.ops.encode import encode_stream_blocks
+    from aad_tpu.ops.pallas_encode_fused import (
+        MAX_NSPB_RESIDENT,
+        encode_stream_fused,
+        supports_fused_encode,
+    )
+
+    geo = compute_block_geometry(1024, 1, 3)
+    nspb = geo.num_samples_per_block
+    assert nspb > MAX_NSPB_RESIDENT and supports_fused_encode(nspb)
+    B = 2
+    sig = (7000 * np.sin(np.arange(B * nspb) / 11.0)).astype(np.int32)
+    blocks = jnp.asarray(sig.reshape(B, 1, 1, nspb))
+    valid = jnp.asarray([nspb, nspb - 37], dtype=jnp.int32)
+    h_s, c_s = encode_stream_blocks(blocks, valid, 3, 1, engine="scan")
+    h_f, c_f, _ = encode_stream_fused(blocks, valid, 3, 1)
+    np.testing.assert_array_equal(np.asarray(c_s), np.asarray(c_f))
+    for a, b in zip(h_s, h_f):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize("per_pass", [False, True])
 def test_encode_kernel_matches_scan(per_pass):
     """Both Pallas encode kernels (interpret) == scan engine, byte-level.
