@@ -196,23 +196,22 @@ class Encoder:
 def encode(pcm: np.ndarray, config: EncodeConfig, engine: str = "auto") -> bytes:
     """One-shot encode; see :class:`Encoder`.
 
-    ``engine="auto"`` uses the Pallas device path on TPU; on
-    accelerator-less hosts it prefers the native codec (instant vs a
-    per-shape jit compile). Pass "scan"/"pallas"/"native" to override.
+    ``engine="auto"`` prefers the native engine: a single stream is
+    latency-bound on the TPU's VPU (the encode recurrence is a ~72-cycle
+    serial dependent chain per sample — docs/DESIGN.md §3), where the native
+    C++ engine measures ~11.5 M samples/s vs the C reference's 6.3 M. The
+    TPU pays off through the batch/streaming APIs (codec.batch_encode,
+    parallel.sharded), which amortise the chain across thousands of lanes
+    (~1.8 G samples/s). Pass "scan"/"pallas"/"native" to override.
     """
     if engine == "native":
         from .. import native
 
         return native.encode(np.asarray(pcm, dtype=np.int32), config)
     if engine == "auto":
-        try:
-            on_tpu = jax.devices()[0].platform == "tpu"
-        except Exception:  # pragma: no cover
-            on_tpu = False
-        if not on_tpu:
-            from .. import native
+        from .. import native
 
-            if native.available():
-                config.validate()
-                return native.encode(np.asarray(pcm, dtype=np.int32), config)
+        if native.available():
+            config.validate()
+            return native.encode(np.asarray(pcm, dtype=np.int32), config)
     return Encoder.from_config(config, engine=engine).encode(pcm)

@@ -163,6 +163,12 @@ def main() -> None:
             "encode_samples_per_sec": round(enc_value),
             "encode_vs_baseline": round(enc_value / enc_baseline, 2),
         }
+    single_value, single_baseline = measure_encode_single_stream()
+    if single_value:
+        extra["encode_single_stream_samples_per_sec"] = round(single_value)
+        extra["encode_single_stream_vs_baseline"] = round(
+            single_value / single_baseline, 2
+        )
     print(
         json.dumps(
             {
@@ -222,6 +228,35 @@ def measure_encode():
         # C encoder baseline on this machine class (see BASELINE notes).
         enc_baseline = 6.3e6
         return total / dt, enc_baseline
+    except Exception:
+        return 0, 1
+
+
+def measure_encode_single_stream():
+    """Single-stream encode latency metric (VERDICT round 1, item 5).
+
+    Measures the framework's auto-routed single-stream path: one stereo
+    stream through ``aad_tpu.encode`` (engine="auto" -> the native engine;
+    a lone stream is latency-bound on the VPU's serial sample chain, see
+    docs/DESIGN.md §3). Baseline: the reference C encoder on this machine
+    class (6.3e6 samples/s). Returns (samples/s, baseline); (0, 1) on
+    failure.
+    """
+    try:
+        from aad_tpu.codec.encoder import EncodeConfig, encode
+
+        cfg = EncodeConfig(num_channels=NCH, sampling_rate=RATE)
+        n = RATE * 60
+        t = np.arange(n) / RATE
+        sig = (0.4 * 32767 * np.sin(2 * np.pi * 440 * t)).astype(np.int32)
+        pcm = np.stack([sig, np.roll(sig, 11)])
+        encode(pcm, cfg)  # warm
+        best = 0.0
+        for _ in range(3):
+            t0 = time.time()
+            encode(pcm, cfg)
+            best = max(best, n * NCH / (time.time() - t0))
+        return best, 6.3e6
     except Exception:
         return 0, 1
 
