@@ -61,10 +61,13 @@ from .pallas_decode import (
 )
 
 # VMEM budget for the resident-block variant: cur + prev packed words
-# double-buffered + code words out. Above this the kernel switches to
+# (W2 = nspb/2 words each), double-buffered by Mosaic, plus the code-word
+# output — roughly 4.5 * W2 * 4 KB against the 16 MB scoped limit, so
+# W2 <= ~832 (mono 4-bit 1024-byte blocks, W2=1008, measured 17.75 MB and
+# OOMed at the old 2112 threshold). Above this the kernel switches to
 # manual chunked DMA (words stay in HBM; see _make_kernel stream_chunk),
 # so every geometry is supported in the single-execution path.
-MAX_NSPB_RESIDENT = 2112
+MAX_NSPB_RESIDENT = 1664
 # HBM->VMEM chunk for the streaming variant (words; x2 samples each).
 STREAM_CHUNK = 256
 

@@ -81,6 +81,39 @@ def test_jax_spot_check_on_real_audio(fixture_dir):
     np.testing.assert_array_equal(out_native, np.asarray(out_jax))
 
 
+@pytest.mark.parametrize("name", ["bunny1.wav", "pi_15-25sec.wav"])
+@pytest.mark.parametrize("bps", [2, 3, 4])
+def test_jax_engines_real_audio_grid(fixture_dir, name, bps):
+    """Real audio through the JAX engines, byte-exact vs native.
+
+    The reference runs its corpus grid through the codec under test
+    (reference: test/test_aad_encode_decode.c:492-636); this sampled grid
+    puts real audio through (a) the JAX scan *encoder* — bytes must equal
+    the native engine's (itself byte-exact vs the reference binary) — and
+    (b) the scan and fused (interpret on CPU, hardware on TPU) *decoders*.
+    """
+    from aad_tpu.codec.encoder import encode as jax_encode
+
+    fmt, pcm32 = read_wav(str(fixture_dir / name))
+    pcm = (pcm32 >> 16).astype(np.int32)
+    cfg = EncodeConfig(
+        num_channels=fmt.num_channels,
+        sampling_rate=fmt.sampling_rate,
+        bits_per_sample=bps,
+        max_block_size=1024,
+    )
+    want = native.encode(pcm, cfg)
+    got = jax_encode(pcm, cfg, engine="scan")
+    assert got == want, f"{name} bps={bps}: scan-encode bytes differ"
+
+    _, out_native = native.decode(want)
+    for engine in ("scan", "fused"):
+        _, out = jax_decode(want, engine=engine)
+        np.testing.assert_array_equal(
+            out_native, np.asarray(out), err_msg=f"{name} bps={bps} {engine}"
+        )
+
+
 def test_golden_compression_ratios(fixture_dir):
     """The fixture compression ratios recorded in BASELINE.md."""
     for wav, aad, expect in [

@@ -70,6 +70,37 @@ class TestFusedEngine:
 
 
 @requires_tpu
+@pytest.mark.parametrize("bps", [2, 3, 4])
+def test_real_audio_grid_pallas_engines(fixture_dir, bps):
+    """Real audio through the hardware Pallas engines, byte-exact vs native.
+
+    Encode via the Pallas trial-search kernel and decode via the fused
+    wire32 kernel on the real chip; both must match the native engine
+    (itself byte-exact vs the reference binary). Mirrors the reference's
+    corpus grid (reference: test/test_aad_encode_decode.c:492-636).
+    """
+    from aad_tpu import decode, native
+    from aad_tpu.codec.encoder import EncodeConfig, encode
+    from aad_tpu.format.wav import read_wav
+
+    fmt, pcm32 = read_wav(str(fixture_dir / "bunny1.wav"))
+    pcm = (pcm32 >> 16).astype(np.int32)
+    cfg = EncodeConfig(
+        num_channels=fmt.num_channels,
+        sampling_rate=fmt.sampling_rate,
+        bits_per_sample=bps,
+        max_block_size=1024,
+    )
+    want = native.encode(pcm, cfg)
+    got = encode(pcm, cfg, engine="pallas")
+    assert got == want, f"bps={bps}: pallas-encode bytes differ"
+
+    _, out_native = native.decode(want)
+    _, out = decode(want, engine="fused")
+    np.testing.assert_array_equal(out_native, np.asarray(out))
+
+
+@requires_tpu
 def test_scale_smoke():
     """A 10-minute stereo stream decodes in one device program."""
     import pathlib
