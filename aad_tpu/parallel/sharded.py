@@ -37,13 +37,29 @@ from ..ops.decode import _decode_blocks_impl, resolve_engine
 Array = jax.Array
 
 
-def make_mesh(n_devices: int | None = None, axis_names=("dp", "sp")) -> Mesh:
+def make_mesh(
+    n_devices: int | None = None,
+    axis_names=("dp", "sp"),
+    shape: tuple[int, int] | None = None,
+) -> Mesh:
     """Build a (dp, sp) mesh over the first ``n_devices`` devices.
 
-    dp spans streams, sp spans the block/sequence axis. The factorisation
-    puts the larger factor on dp (streams are the coarser unit).
+    dp spans streams, sp spans the block/sequence axis. By default the
+    factorisation puts the larger factor on dp (streams are the coarser
+    unit); pass ``shape=(dp, sp)`` to pin it.
     """
     devs = jax.devices()
+    if shape is not None:
+        dp, sp = shape
+        n = n_devices or dp * sp
+        if dp * sp != n:
+            raise ValueError(f"mesh shape {shape} does not cover {n} devices")
+        if len(devs) < n:
+            raise ValueError(
+                f"make_mesh: requested {n} devices but only {len(devs)} "
+                "available"
+            )
+        return Mesh(np.array(devs[:n]).reshape(dp, sp), axis_names)
     n = n_devices or len(devs)
     if len(devs) < n:
         raise ValueError(
@@ -126,15 +142,20 @@ def encode_streams_sharded(
       blocks: (S, B, C, nspb) zero-padded per-stream block tensors
         (MS already applied); valid: (S, B) per-block sample counts.
     Returns:
-      (headers, codes) with a leading sharded stream axis, plus a
-      mesh-global mean-squared quantisation statistic (exercises psum).
+      (headers, codes) with a leading sharded stream axis, plus the
+      mesh-global full-scale-normalised reconstruction RMSE (each shard
+      decodes its own emitted codes back and the squared error is psum'd —
+      the same statistic as the reference CLI's -c mode, reference:
+      src/main.c:441-503, computed across the whole mesh).
     """
+    from ..ops.decode import _decode_blocks_impl
     from ..ops.encode import encode_stream_blocks
 
     total = mesh.size
     spec = P(("dp", "sp"))
     blocks, S = _pad_axis0(blocks, total)
     valid, _ = _pad_axis0(valid, total)
+    nspb = blocks.shape[-1]
 
     @functools.partial(
         shard_map,
@@ -147,13 +168,29 @@ def encode_streams_sharded(
         headers, codes = jax.vmap(
             lambda b, v: encode_stream_blocks(b, v, bits_per_sample, num_trials)
         )(bl, va)
-        # Global quality telemetry across all shards: mean |code| as a cheap
-        # activity proxy (demonstrates the only collective this workload has).
-        local_sum = jnp.sum(codes.astype(jnp.float32))
-        local_cnt = jnp.asarray(codes.size, dtype=jnp.float32)
-        gsum = jax.lax.psum(local_sum, ("dp", "sp"))
+        # Global quality telemetry: decode the emitted codes back with the
+        # emitted headers (block self-containedness makes this exact) and
+        # psum the squared reconstruction error over the whole mesh.
+        recon = _decode_blocks_impl(
+            codes.astype(jnp.uint8),
+            headers.step_index,
+            headers.weight,
+            headers.history,
+            bits_per_sample=bits_per_sample,
+            engine="scan",
+        )  # (s, B, C, nspb)
+        err = (recon - bl).astype(jnp.float32) * (1.0 / 32768.0)
+        live = (
+            jnp.arange(nspb, dtype=jnp.int32)[None, None, None, :]
+            < va[..., None, None]
+        )
+        local_sse = jnp.sum(jnp.where(live, err * err, 0.0))
+        local_cnt = jnp.sum(
+            jnp.broadcast_to(live, err.shape).astype(jnp.float32)
+        )
+        gsse = jax.lax.psum(local_sse, ("dp", "sp"))
         gcnt = jax.lax.psum(local_cnt, ("dp", "sp"))
-        return headers, codes, gsum / gcnt
+        return headers, codes, jnp.sqrt(gsse / jnp.maximum(gcnt, 1.0))
 
     headers, codes, stat = jax.jit(_local)(blocks, valid)
     trim = lambda x: x[:S]

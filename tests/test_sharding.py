@@ -72,6 +72,85 @@ class TestShardedEncode:
         assert np.isfinite(float(stat))
 
 
+MESH_SHAPES = [(8, 1), (4, 2), (2, 4), (1, 8)]
+
+
+@pytest.mark.parametrize("shape", MESH_SHAPES)
+class TestMeshShapes:
+    """Every (dp, sp) factorisation must be bit-exact vs unsharded."""
+
+    @pytest.fixture()
+    def shaped_mesh(self, shape):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        return make_mesh(8, shape=shape)
+
+    @pytest.mark.parametrize("L", [13, 100])  # uneven lane counts per shard
+    def test_decode_all_shapes(self, shaped_mesh, shape, L):
+        rng = np.random.default_rng(sum(shape) + L)
+        T = 236
+        codes = jnp.asarray(rng.integers(0, 16, (L, T)).astype(np.int32))
+        si = jnp.asarray(rng.integers(0, 4081, L).astype(np.int32))
+        w = jnp.asarray(rng.integers(-20000, 20000, (L, 4)).astype(np.int32))
+        h = jnp.asarray(rng.integers(-32768, 32768, (L, 4)).astype(np.int32))
+        sharded = decode_blocks_sharded(
+            codes, si, w, h, bits_per_sample=4, mesh=shaped_mesh, engine="scan"
+        )
+        local = decode_blocks(codes, si, w, h, bits_per_sample=4, engine="scan")
+        np.testing.assert_array_equal(np.asarray(sharded), np.asarray(local))
+
+    def test_encode_all_shapes(self, shaped_mesh, shape):
+        rng = np.random.default_rng(17)
+        S, B, C, nspb = 7, 2, 2, 60  # S=7: ragged across every mesh shape
+        blocks = jnp.asarray(
+            rng.integers(-20000, 20000, (S, B, C, nspb)).astype(np.int32)
+        )
+        valid = np.full((S, B), nspb, dtype=np.int32)
+        valid[:, -1] = 41
+        valid = jnp.asarray(valid)
+        headers, codes, stat = encode_streams_sharded(
+            blocks, valid, bits_per_sample=4, num_trials=1, mesh=shaped_mesh
+        )
+        for s in range(S):
+            h_ref, c_ref = encode_stream_blocks(blocks[s], valid[s], 4, 1)
+            np.testing.assert_array_equal(np.asarray(codes[s]), np.asarray(c_ref))
+            np.testing.assert_array_equal(
+                np.asarray(headers.step_index[s]), np.asarray(h_ref.step_index)
+            )
+        # the stat is a real global reconstruction RMSE; uniform +/-20000
+        # noise is the codec's worst case — nonzero and noise-bounded
+        assert 0.0 < float(stat) < 0.3
+
+
+def test_quality_stat_is_reconstruction_rmse():
+    """The psum'd statistic equals the host-computed roundtrip RMSE."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from aad_tpu.ops.decode import decode_blocks as db
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(5)
+    S, B, C, nspb = 4, 2, 2, 60
+    blocks = jnp.asarray(
+        rng.integers(-15000, 15000, (S, B, C, nspb)).astype(np.int32)
+    )
+    valid = jnp.full((S, B), nspb, dtype=jnp.int32)
+    headers, codes, stat = encode_streams_sharded(
+        blocks, valid, bits_per_sample=4, num_trials=0, mesh=mesh
+    )
+    recon = db(
+        np.asarray(codes).astype(np.uint8),
+        headers.step_index,
+        headers.weight,
+        headers.history,
+        bits_per_sample=4,
+        engine="scan",
+    )
+    err = (np.asarray(recon) - np.asarray(blocks)) / 32768.0
+    want = float(np.sqrt(np.mean(err**2)))
+    assert abs(float(stat) - want) < 1e-6
+
+
 def test_graft_entry_and_dryrun():
     import __graft_entry__ as g
 
