@@ -148,6 +148,47 @@ class StreamingEncoder:
         return np.concatenate(parts).tobytes()
 
 
+class _ByteFIFO:
+    """Amortised O(1)-per-byte byte queue (list of chunks + read offset).
+
+    ``bytes += chunk`` / ``buf = buf[n:]`` both copy the whole remainder,
+    making many tiny pushes O(n^2); this keeps pushes append-only and pops
+    amortised linear.
+    """
+
+    def __init__(self):
+        import collections
+
+        self._chunks: "collections.deque[bytes]" = collections.deque()
+        self._offset = 0  # consumed bytes of _chunks[0]
+        self._size = 0
+
+    def __len__(self) -> int:
+        return self._size
+
+    def append(self, data: bytes) -> None:
+        if data:
+            self._chunks.append(data)
+            self._size += len(data)
+
+    def pop(self, n: int) -> bytes:
+        """Remove and return exactly ``n`` bytes (caller checks len first)."""
+        assert n <= self._size
+        out = bytearray()
+        while n:
+            head = self._chunks[0]
+            avail = len(head) - self._offset
+            take = min(avail, n)
+            out += head[self._offset : self._offset + take]
+            self._offset += take
+            self._size -= take
+            n -= take
+            if self._offset == len(head):
+                self._chunks.popleft()
+                self._offset = 0
+        return bytes(out)
+
+
 class StreamingDecoder:
     """Push-based decoder: emits samples as soon as whole blocks arrive.
 
@@ -161,7 +202,7 @@ class StreamingDecoder:
 
         self._decoder_cls = Decoder
         self._engine = engine
-        self._buffer = b""
+        self._buffer = _ByteFIFO()
         self._decoder = None
         self._samples_out = 0
 
@@ -171,18 +212,17 @@ class StreamingDecoder:
 
     def push(self, data: bytes) -> np.ndarray:
         """Feed stream bytes; returns (C, n) decoded samples (n may be 0)."""
-        self._buffer += bytes(data)
+        self._buffer.append(bytes(data))
         if self._decoder is None:
             from ..constants import FILE_HEADER_SIZE
 
             if len(self._buffer) < FILE_HEADER_SIZE:
                 return self._empty()
-            header = decode_header(self._buffer[:FILE_HEADER_SIZE])
+            header = decode_header(self._buffer.pop(FILE_HEADER_SIZE))
             validate_header(header)
             self._decoder = self._decoder_cls.from_header(
                 header, engine=self._engine
             )
-            self._buffer = self._buffer[FILE_HEADER_SIZE:]
 
         dec = self._decoder
         h = dec.header
@@ -205,8 +245,7 @@ class StreamingDecoder:
             if len(self._buffer) < need:
                 break
             row = np.zeros(geo.block_size, dtype=np.uint8)
-            row[:need] = np.frombuffer(self._buffer[:need], dtype=np.uint8)
-            self._buffer = self._buffer[need:]
+            row[:need] = np.frombuffer(self._buffer.pop(need), dtype=np.uint8)
             block_rows.append(row)
             valids.append(valid)
             self._samples_out += valid
