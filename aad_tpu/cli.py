@@ -1,23 +1,29 @@
 """Command-line interface: the six reference modes on the TPU codec.
 
-Mirrors the reference CLI's modes, flags and defaults (reference:
-src/main.c:20-58): encode -e, decode -d, reconstruct -r, gap -g,
+Mirrors the reference CLI byte-for-byte (reference: src/main.c,
+src/command_line_parser.c): encode -e, decode -d, reconstruct -r, gap -g,
 calculate -c, information -i; options -b/--bits-per-sample (default 4),
 -s/--max-block-size (default 1024), -t/--num-encode-trials (default 2),
--m/--ms-conversion, -v/--version.
+-m/--ms-conversion, -h/--help, -v/--version. Usage text, help listing,
+parse diagnostics and the reference's integer-truncation quirks
+(uint8/uint16 casts of strtol results, reference: src/main.c:578-588) are
+reproduced exactly. The codec engine is chosen with the AAD_TPU_ENGINE
+environment variable (auto | native | fused | pallas | scan).
 
 Usage: python -m aad_tpu.cli [options] INPUT [OUTPUT]
 """
 
 from __future__ import annotations
 
-import argparse
+import dataclasses
 import math
+import os
 import sys
 
 import numpy as np
 
 from . import CODEC_VERSION, FILE_HEADER_SIZE, decode_header
+from .cliparse import OptionSpec, parse_arguments, print_description, strtol10
 from .codec.decoder import decode
 from .codec.encoder import EncodeConfig, encode
 from .codec.result import AadError
@@ -25,41 +31,48 @@ from .constants import CH_PROCESS_MS, CH_PROCESS_NONE
 from .format.wav import WavFormat, read_wav, write_wav
 
 
-def _build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(
-        prog="aad_tpu",
-        description="AAD (Ayashi Adaptive Differential PCM) TPU codec",
-    )
-    mode = p.add_argument_group("modes (exactly one)")
-    mode.add_argument("-e", "--encode", action="store_true",
-                      help="Encode mode (wav file -> .aad file)")
-    mode.add_argument("-d", "--decode", action="store_true",
-                      help="Decode mode (.aad file -> wav file)")
-    mode.add_argument("-r", "--reconstruct", action="store_true",
-                      help="Reconstruction mode (wav -> encode -> decode -> wav)")
-    mode.add_argument("-g", "--gap", action="store_true",
-                      help="Gap (residual output) mode")
-    mode.add_argument("-c", "--calculate", action="store_true",
-                      help="Calculate statistics (RMSE etc.) after a round trip")
-    mode.add_argument("-i", "--information", action="store_true",
-                      help="Show information of an encoded .aad file")
-    p.add_argument("-b", "--bits-per-sample", type=int, default=4,
-                   help="bits per sample in 2,3,4 (default: 4)")
-    p.add_argument("-s", "--max-block-size", type=int, default=1024,
-                   help="max block size in bytes (default: 1024)")
-    p.add_argument("-t", "--num-encode-trials", type=int, default=2,
-                   help="number of encode trials (default: 2)")
-    p.add_argument("-m", "--ms-conversion", action="store_true",
-                   help="use LR to MS conversion (default: no)")
-    p.add_argument("-v", "--version", action="store_true",
-                   help="show version information")
-    p.add_argument("--engine", default="auto",
-                   choices=["auto", "native", "fused", "pallas", "scan"],
-                   help="codec engine (default: auto — native host codec for "
-                        "CLI latency, device pipeline otherwise)")
-    p.add_argument("input", nargs="?")
-    p.add_argument("output", nargs="?")
-    return p
+def _build_specs() -> list[OptionSpec]:
+    """The reference's spec table (reference: src/main.c:20-58)."""
+    return [
+        OptionSpec("e", "encode", False,
+                   "Encode mode (wav file -> .aad file)"),
+        OptionSpec("d", "decode", False,
+                   "Decode mode (.aad file -> wav file)"),
+        OptionSpec("r", "reconstruct", False,
+                   "Reconstruction mode (wav file -> (encode -> decode) -> "
+                   "decoded wav file)"),
+        OptionSpec("g", "gap", False,
+                   "Gap(residual output) mode (wav file -> (encode -> "
+                   "decode) -> residual wav file)"),
+        OptionSpec("c", "calculate", False,
+                   "Calculate statistics(e.g. RMS error) between original "
+                   "and reconstructed wav"),
+        OptionSpec("i", "information", False,
+                   "Show information of encoded .aad file"),
+        OptionSpec("b", "bits-per-sample", True,
+                   "Specify bits per sample(in 2,3,4) (default: 4)", "4"),
+        OptionSpec("s", "max-block-size", True,
+                   "Specify max block size (default: 1024)", "1024"),
+        OptionSpec("t", "num-encode-trials", True,
+                   "Specify number of encode Trials (default: 2)", "2"),
+        OptionSpec("m", "ms-conversion", False,
+                   "Switch to use LR to MS conversion (default: no)"),
+        OptionSpec("h", "help", False, "Show help message"),
+        OptionSpec("v", "version", False, "Show version information"),
+    ]
+
+
+@dataclasses.dataclass
+class _Args:
+    """Resolved CLI state handed to the mode handlers."""
+
+    bits_per_sample: int = 4
+    max_block_size: int = 1024
+    num_encode_trials: int = 2
+    ms_conversion: bool = False
+    engine: str = "auto"
+    input: str | None = None
+    output: str | None = None
 
 
 def _read_wav_16bit(path: str):
@@ -172,40 +185,97 @@ def _apply_platform_override() -> None:
         jax.config.update("jax_platforms", plat)
 
 
-def main(argv=None) -> int:
-    _apply_platform_override()
-    args = _build_parser().parse_args(argv)
+def _print_usage(prog: str) -> None:
+    print(f"Usage: {prog} [options] INPUT_FILE_NAME OUTPUT_FILE_NAME ")
 
-    if args.version:
-        print(f"AAD TPU codec (format-compatible with AAD Version.{CODEC_VERSION})")
+
+def main(argv=None) -> int:
+    """Reference-exact entry flow (reference: src/main.c:518-626)."""
+    _apply_platform_override()
+    argv = list(sys.argv if argv is None else ["aad_tpu", *argv])
+    prog = argv[0]
+
+    if len(argv) == 1:
+        _print_usage(prog)
+        print(f"type `{prog} -h` to display usage. ")
+        return 1
+
+    specs = _build_specs()
+    by_long = {s.long: s for s in specs}
+    others = parse_arguments(specs, argv)
+    if others is None:
+        return 1
+
+    if by_long["help"].acquired:
+        _print_usage(prog)
+        print("options: ")
+        print_description(specs)
+        return 0
+    if by_long["version"].acquired:
+        print(
+            "AAD(Ayashi Adaptive Differential pulse code modulation) "
+            f"encoder/decoder Version.{CODEC_VERSION} "
+        )
         return 0
 
-    modes = [args.encode, args.decode, args.reconstruct, args.gap,
-             args.calculate, args.information]
-    if sum(modes) != 1:
-        print("error: specify exactly one mode of -e/-d/-r/-g/-c/-i",
-              file=sys.stderr)
-        return 2
+    mode_names = ["decode", "encode", "information", "reconstruct", "gap",
+                  "calculate"]
+    num_modes = sum(by_long[m].acquired for m in mode_names)
+    if num_modes == 0:
+        sys.stderr.write(f"{prog}: must specify at least one mode. \n")
+        return 1
+    if num_modes >= 2:
+        sys.stderr.write(
+            f"{prog}: multiple modes cannot specify simultaneously. \n"
+        )
+        return 1
+
+    args = _Args(engine=os.environ.get("AAD_TPU_ENGINE", "auto"))
+    args.input = others[0] if len(others) > 0 else None
+    args.output = others[1] if len(others) > 1 else None
     if args.input is None:
-        print("error: INPUT file required", file=sys.stderr)
-        return 2
-    needs_output = not (args.calculate or args.information)
-    if needs_output and args.output is None:
-        print("error: OUTPUT file required for this mode", file=sys.stderr)
-        return 2
+        sys.stderr.write(f"{prog}: input file must be specified. \n")
+        return 1
+
+    if any(by_long[m].acquired for m in ("encode", "reconstruct", "gap",
+                                         "calculate")):
+        # The reference narrows through fixed-width fields here: uint8
+        # bits/trials, uint16 block size (reference: src/main.c:578-588).
+        args.bits_per_sample = strtol10(by_long["bits-per-sample"].argument) & 0xFF
+        args.max_block_size = strtol10(by_long["max-block-size"].argument) & 0xFFFF
+        args.num_encode_trials = (
+            strtol10(by_long["num-encode-trials"].argument) & 0xFF
+        )
+        args.ms_conversion = by_long["ms-conversion"].acquired
 
     try:
-        if args.information:
+        if by_long["information"].acquired:
             return cmd_information(args.input)
 
-        if args.encode:
-            fmt, pcm = _read_wav_16bit(args.input)
-            data = _encode(args, pcm, fmt)
-            with open(args.output, "wb") as f:
-                f.write(data)
+        if by_long["calculate"].acquired:
+            fmt, canonical, decoded = _reconstruct(args, args.input)
+            residual = (
+                canonical - (decoded.astype(np.int32) << 16)
+            ).astype(np.int32)
+            # statistics with the reference's exact formula, including its
+            # quirk — pcm1 is the residual in the canonical domain while
+            # pcm2 is the *unshifted* decoded value (reference:
+            # src/main.c:477-497).
+            pcm1 = residual.astype(np.float64) / np.iinfo(np.int32).max
+            pcm2 = decoded.astype(np.float64) / np.iinfo(np.int32).max
+            diff = pcm1 - pcm2
+            n = diff.size
+            rmse = math.sqrt(float(np.sum(diff**2)) / n)
+            msd = float(np.sum(np.abs(diff))) / n
+            maxae = float(np.max(np.abs(diff)))
+            print(f"RMSE:{rmse:f} MSD:{msd:f} MaxAE:{maxae:f} ")
             return 0
 
-        if args.decode:
+        if args.output is None:
+            sys.stderr.write(f"{prog}: output file must be specified. \n")
+            return 1
+
+        if by_long["decode"].acquired:
             with open(args.input, "rb") as f:
                 data = f.read()
             header, pcm = _decode(args, data)
@@ -218,39 +288,40 @@ def main(argv=None) -> int:
             write_wav(args.output, fmt, pcm << 16)
             return 0
 
+        if by_long["encode"].acquired:
+            fmt, pcm = _read_wav_16bit(args.input)
+            data = _encode(args, pcm, fmt)
+            with open(args.output, "wb") as f:
+                f.write(data)
+            return 0
+
         fmt, canonical, decoded = _reconstruct(args, args.input)
 
-        if args.reconstruct:
+        if by_long["reconstruct"].acquired:
             _write_wav_16bit(args.output, fmt, decoded)
             return 0
 
-        # Residual in the canonical domain with int32 wraparound, exactly as
-        # the reference's in-place int32 subtraction (reference:
+        # gap: residual in the canonical domain with int32 wraparound,
+        # exactly as the reference's in-place int32 subtraction (reference:
         # src/main.c:425-432, 470-475).
         residual = (canonical - (decoded.astype(np.int32) << 16)).astype(np.int32)
-
-        if args.gap:
-            write_wav(args.output, fmt, residual)
-            return 0
-
-        # calculate: statistics with the reference's exact formula, including
-        # its quirk — pcm1 is the residual in the canonical domain while pcm2
-        # is the *unshifted* decoded value (reference: src/main.c:477-497).
-        pcm1 = residual.astype(np.float64) / np.iinfo(np.int32).max
-        pcm2 = decoded.astype(np.float64) / np.iinfo(np.int32).max
-        diff = pcm1 - pcm2
-        n = diff.size
-        rmse = math.sqrt(float(np.sum(diff**2)) / n)
-        msd = float(np.sum(np.abs(diff))) / n
-        maxae = float(np.max(np.abs(diff)))
-        print(f"RMSE:{rmse:f} MSD:{msd:f} MaxAE:{maxae:f} ")
+        write_wav(args.output, fmt, residual)
         return 0
 
     except AadError as e:
-        print(f"error: {e.result.name}: {e}", file=sys.stderr)
+        from .codec.result import InvalidFormatError
+
+        if isinstance(e, InvalidFormatError) and not by_long["decode"].acquired:
+            # invalid encode parameters (reference: src/main.c:193, 318)
+            sys.stderr.write(
+                "Failed to set encode parameter. Please check encode "
+                "parameter. \n"
+            )
+            return 1
+        sys.stderr.write(f"error: {e.result.name}: {e}\n")
         return 1
     except FileNotFoundError as e:
-        print(f"Failed to open {e.filename}.", file=sys.stderr)
+        sys.stderr.write(f"Failed to open {e.filename}. \n")
         return 1
 
 

@@ -94,22 +94,65 @@ class TestModes:
         assert r.stdout == ref.stdout
 
 
+def _norm(text: str, prog: str) -> str:
+    return text.replace(prog, "PROG")
+
+
+def _compare_to_reference(reference_cli, argv):
+    """Run both CLIs; stdout/stderr/rc must match after argv0 rewriting."""
+    ref = subprocess.run(
+        [str(reference_cli), *argv], capture_output=True, text=True
+    )
+    ours = run_cli(argv)
+    prog_ours = os.path.join("/root/repo", "aad_tpu", "cli.py")
+    assert ours.returncode == ref.returncode, (argv, ours.stderr, ref.stderr)
+    assert _norm(ours.stdout, prog_ours) == _norm(ref.stdout, str(reference_cli))
+    assert _norm(ours.stderr, prog_ours) == _norm(ref.stderr, str(reference_cli))
+
+
 class TestErrors:
-    def test_no_mode(self, short_wav):
-        r = run_cli([str(short_wav), "x"])
-        assert r.returncode == 2
+    """Error paths and metadata output, byte-compared to the reference
+    binary (reference: src/main.c:518-626, src/command_line_parser.c)."""
 
-    def test_two_modes(self, short_wav):
-        r = run_cli(["-e", "-d", str(short_wav), "x"])
-        assert r.returncode == 2
-
-    def test_missing_output(self, short_wav):
-        assert run_cli(["-e", str(short_wav)]).returncode == 2
+    @pytest.mark.parametrize("argv", [
+        [],                      # bare usage + hint
+        ["-h"],                  # full help listing
+        ["--help"],
+        ["-v"],                  # version line
+        ["in.wav", "x"],         # no mode
+        ["-e", "-d", "in.wav", "x"],   # two modes
+        ["-e"],                  # missing input
+        ["-e", "in.wav"],        # missing output (file-open comes later)
+        ["-e", "-e", "a", "b"],  # duplicate short option
+        ["--encode", "--encode", "a", "b"],  # duplicate long option
+        ["-z", "a", "b"],        # unknown short
+        ["--zzz", "a", "b"],     # unknown long
+        ["-e", "-b"],            # option needs argument (at end)
+        ["-e", "-b", "-m", "a", "b"],  # option argument looks like a flag
+        ["-be", "4", "a", "b"],  # arg option not at cluster tail
+        ["a", "b", "c", "-e"],   # too many strings
+    ])
+    def test_matches_reference(self, reference_cli, argv):
+        _compare_to_reference(reference_cli, argv)
 
     def test_missing_input_file(self, tmp_path):
         r = run_cli(["-d", str(tmp_path / "none.aad"), str(tmp_path / "o.wav")])
         assert r.returncode == 1
+        assert r.stderr.startswith("Failed to open ")
 
     def test_version(self):
         r = run_cli(["-v"])
         assert r.returncode == 0 and "Version" in r.stdout
+
+    def test_uint8_trials_truncation(self, reference_cli, short_wav, tmp_path):
+        """-t 300 must behave as -t 44 (uint8 cast, reference:
+        src/main.c:586-588 via src/aad_encoder.h:14)."""
+        a = tmp_path / "t300.aad"
+        b = tmp_path / "t44.aad"
+        assert run_cli(["-e", "-t", "300", str(short_wav), str(a)]).returncode == 0
+        assert run_cli(["-e", "-t", "44", str(short_wav), str(b)]).returncode == 0
+        assert a.read_bytes() == b.read_bytes()
+        ref = tmp_path / "ref300.aad"
+        subprocess.run([str(reference_cli), "-e", "-t", "300",
+                        str(short_wav), str(ref)], check=True)
+        assert a.read_bytes() == ref.read_bytes()
