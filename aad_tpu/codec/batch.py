@@ -1,12 +1,14 @@
 """Batched multi-stream decode: many .aad files in one device computation.
 
 Block self-containedness means *every block of every stream* is an
-independent decode task, so a heterogeneous pile of files flattens into one
-lane batch for the fused kernel (BASELINE.json config: "batch
-block/channel-parallel decode of many .aad streams"). Streams are grouped
-by bit depth (a static kernel parameter); differing block sizes are handled
-by padding the code axis — trailing zero codes cannot affect earlier
-samples of a sequential recurrence.
+independent decode task, so a heterogeneous pile of files flattens into a
+few lane batches (BASELINE.json config: "batch block/channel-parallel
+decode of many .aad streams"). Streams are grouped by geometry — block
+size, channel count, bit depth and MS flag are static pipeline parameters —
+and each group's block rows stack into ONE u32 wire-word batch for the
+wire32 device pipeline (codec.decoder._device_pipeline_words): no byte
+tensor is built on host or device, and the per-group lane count is
+bucketed so differing piles reuse compiled shapes.
 """
 
 from __future__ import annotations
@@ -18,19 +20,21 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..constants import CH_PROCESS_MS, FILE_HEADER_SIZE
-from ..format.framing import frame_stream
-from ..format.geometry import geometry_from_header
+from ..format.geometry import geometry_from_header, num_blocks_for
 from ..format.header import HeaderInfo, decode_header, validate_header
-from ..ops.decode import decode_blocks, ms_to_lr, resolve_engine
+from ..ops.decode import resolve_engine
+from ..ops.wire32 import payload_to_words, words_per_block
 
 
 def decode_batch(
     streams: Sequence[bytes | np.ndarray], engine: str = "auto"
 ) -> list[tuple[HeaderInfo, np.ndarray]]:
-    """Decode many complete .aad streams in (at most 3) device calls.
+    """Decode many complete .aad streams, one device call per geometry group.
 
-    Returns a list of (header, pcm[C, N]) in input order.
+    Returns a list of (header, pcm[C, N] int16) in input order.
     """
+    from .decoder import _bucket_blocks, _device_pipeline_words_jit
+
     engine = resolve_engine(engine)
 
     parsed = []
@@ -45,57 +49,58 @@ def decode_batch(
         geo = geometry_from_header(
             header.num_channels, header.bits_per_sample, header.block_size
         )
-        framed = frame_stream(buf[FILE_HEADER_SIZE:], header, geo)
-        parsed.append((header, geo, framed))
+        parsed.append((header, geo, buf[FILE_HEADER_SIZE:]))
 
     results: list = [None] * len(parsed)
-    by_bps: dict[int, list[int]] = {}
-    for i, (h, _, _) in enumerate(parsed):
-        by_bps.setdefault(h.bits_per_sample, []).append(i)
+    groups: dict[tuple, list[int]] = {}
+    for i, (h, geo, _) in enumerate(parsed):
+        key = (
+            geo.num_channels,
+            geo.bits_per_sample,
+            geo.block_size,
+            h.ch_process_method == CH_PROCESS_MS,
+        )
+        groups.setdefault(key, []).append(i)
 
-    for bps, idxs in by_bps.items():
-        T = max(parsed[i][2].codes.shape[-1] for i in idxs)
-        lanes_codes, lanes_si, lanes_w, lanes_h = [], [], [], []
-        spans = []  # (start, B, C, T_i) per stream
+    for (nch, bps, _bsz, ms), idxs in groups.items():
+        geo = parsed[idxs[0]][1]
+        nspb = geo.num_samples_per_block
+        wpb = words_per_block(geo)
+
+        spans = []  # (block_offset, nblocks) per stream
+        rows = []
         start = 0
         for i in idxs:
-            framed = parsed[i][2]
-            B, C, Ti = framed.codes.shape
-            codes = np.zeros((B * C, T), dtype=np.uint8)
-            codes[:, :Ti] = framed.codes.reshape(B * C, Ti)
-            lanes_codes.append(codes)
-            lanes_si.append(framed.states.step_index.reshape(-1))
-            lanes_w.append(framed.states.weight.reshape(-1, 4))
-            lanes_h.append(framed.states.history.reshape(-1, 4))
-            spans.append((start, B, C, Ti))
-            start += B * C
+            h, _, payload = parsed[i]
+            nb = num_blocks_for(h.num_samples, nspb)
+            rows.append(payload_to_words(payload, geo, nb))
+            spans.append((start, nb))
+            start += nb
 
-        # bucket the lane count so differing piles reuse compiled shapes
-        from .decoder import _bucket_blocks
+        B_real = start
+        B_pad = _bucket_blocks(B_real)
+        if engine == "fused":
+            lane_mult = max(1, 1024 // nch)
+            B_pad = -(-B_pad // lane_mult) * lane_mult
+        words = np.zeros((B_pad, wpb), dtype=np.uint32)
+        words[:B_real] = np.concatenate(rows, axis=0)
 
-        L_real = start
-        L_pad = _bucket_blocks(L_real)
-        pad = L_pad - L_real
-        samples = decode_blocks(
-            jnp.asarray(np.concatenate(
-                lanes_codes + [np.zeros((pad, T), np.uint8)])),
-            jnp.asarray(np.concatenate(
-                lanes_si + [np.zeros(pad, np.int32)])),
-            jnp.asarray(np.concatenate(
-                lanes_w + [np.zeros((pad, 4), np.int32)])),
-            jnp.asarray(np.concatenate(
-                lanes_h + [np.zeros((pad, 4), np.int32)])),
+        lanes = _device_pipeline_words_jit(
+            jnp.asarray(words),
+            geo=geo,
+            num_blocks=B_pad,
             bits_per_sample=bps,
+            ms=ms,
             engine=engine,
         )
-        samples = np.asarray(samples)[:L_real]  # (L, 4 + T)
+        arr = np.asarray(lanes)
+        if arr.dtype == np.uint32:
+            arr = arr.view("<i2")
+        full = arr.reshape(nch, B_pad * nspb)  # free host view
 
-        for i, (off, B, C, Ti) in zip(idxs, spans):
+        for i, (off, nb) in zip(idxs, spans):
             h = parsed[i][0]
-            s = samples[off : off + B * C, : 4 + Ti].reshape(B, C, 4 + Ti)
-            if h.ch_process_method == CH_PROCESS_MS:
-                s = np.asarray(ms_to_lr(jnp.asarray(s)))
-            pcm = np.swapaxes(s, 0, 1).reshape(C, -1)[:, : h.num_samples]
+            pcm = full[:, off * nspb : off * nspb + nb * nspb][:, : h.num_samples]
             results[i] = (h, pcm)
 
     return results

@@ -254,34 +254,41 @@ class StreamingDecoder:
         if not block_rows:
             return self._empty()
 
-        from ..ops.decode import decode_blocks, ms_to_lr
-        from .decoder import _bucket_blocks
+        from ..ops.wire32 import words_per_block
+        from .decoder import _bucket_blocks, _device_pipeline_words_jit
 
         # Bucket the batch size so varying push cadences reuse compiled
-        # shapes; padding rows decode garbage that is never emitted.
+        # shapes; padding rows decode garbage that is never emitted. The
+        # decode itself is the u32 wire pipeline (no byte tensors on
+        # device; see codec.decoder._device_pipeline_words).
         n_real = len(block_rows)
-        for _ in range(_bucket_blocks(n_real) - n_real):
-            block_rows.append(np.zeros(geo.block_size, dtype=np.uint8))
-        blocks = np.stack(block_rows)  # (B_padded, block_size)
-        states = framing.parse_block_headers(blocks, geo)
-        codes = framing.unpack_codes(
-            blocks[:, geo.header_bytes : geo.header_bytes + geo.data_bytes], geo
-        )
-        samples = decode_blocks(
-            jnp.asarray(codes),
-            jnp.asarray(states.step_index),
-            jnp.asarray(states.weight),
-            jnp.asarray(states.history),
+        n_pad = _bucket_blocks(n_real)
+        if dec.engine == "fused":
+            lane_mult = max(1, 1024 // geo.num_channels)
+            n_pad = -(-n_pad // lane_mult) * lane_mult
+        wpb = words_per_block(geo)
+        buf = np.zeros((n_pad, wpb * 4), dtype=np.uint8)
+        buf[:n_real, : geo.block_size] = np.stack(block_rows)
+        words = buf.view("<u4").reshape(n_pad, wpb)
+
+        lanes = _device_pipeline_words_jit(
+            jnp.asarray(words),
+            geo=geo,
+            num_blocks=n_pad,
             bits_per_sample=h.bits_per_sample,
+            ms=h.ch_process_method == CH_PROCESS_MS,
             engine=dec.engine,
         )
-        if h.ch_process_method == CH_PROCESS_MS:
-            samples = ms_to_lr(samples)
-        samples = np.asarray(samples)  # (B, C, 4 + T)
-        out = [s[:, :v] for s, v in zip(samples, valids)]
+        arr = np.asarray(lanes)
+        if arr.dtype == np.uint32:
+            arr = arr.view("<i2")
+        full = arr.reshape(geo.num_channels, n_pad * nspb)
+        out = [
+            full[:, b * nspb : b * nspb + v] for b, v in enumerate(valids)
+        ]
         return np.concatenate(out, axis=1)
 
     def _empty(self) -> np.ndarray:
         # Channel count is unknown until the header has arrived.
         nch = self._decoder.header.num_channels if self._decoder else 0
-        return np.empty((nch, 0), dtype=np.int32)
+        return np.empty((nch, 0), dtype=np.int16)
