@@ -198,6 +198,7 @@ def _make_kernel(
     bits_per_sample: int,
     corrections: tuple[tuple[int, int], ...],
     with_head: bool = False,
+    w_chunk: int = W_CHUNK,
 ):
     """Fused decode kernel; ``with_head`` emits the 4 header samples inline.
 
@@ -210,9 +211,9 @@ def _make_kernel(
     """
 
     def kernel(words_ref, idx_ref, h_ref, w_ref, out_ref, state):
-        w_chunk = pl.program_id(1)
+        chunk_idx = pl.program_id(1)
 
-        @pl.when(w_chunk == 0)
+        @pl.when(chunk_idx == 0)
         def _init():
             for k in range(4):
                 state[k] = h_ref[0, k]
@@ -224,7 +225,7 @@ def _make_kernel(
                 state[10] = _pack_pair(h_ref[0, 1], h_ref[0, 0])
 
         row_shift = 2 if with_head else 0
-        n_loop = W_CHUNK - 1 if with_head else W_CHUNK
+        n_loop = w_chunk - 1 if with_head else w_chunk
 
         if with_head:
             out_ref[0, 0] = state[9]
@@ -250,11 +251,11 @@ def _make_kernel(
             # grid step (the last chunk's spill is pad garbage, dropped by
             # the caller's sample slice).
             outs, carry = _decode_word_step(
-                words_ref[W_CHUNK - 1, 0], carry,
+                words_ref[w_chunk - 1, 0], carry,
                 bits_per_sample=bits_per_sample, corrections=corrections,
             )
-            out_ref[W_CHUNK * 4 - 2, 0] = _pack_pair(outs[0], outs[1])
-            out_ref[W_CHUNK * 4 - 1, 0] = _pack_pair(outs[2], outs[3])
+            out_ref[w_chunk * 4 - 2, 0] = _pack_pair(outs[0], outs[1])
+            out_ref[w_chunk * 4 - 1, 0] = _pack_pair(outs[2], outs[3])
             state[9] = _pack_pair(outs[4], outs[5])
             state[10] = _pack_pair(outs[6], outs[7])
         for k in range(9):
@@ -441,7 +442,8 @@ def _decode_words_tm_impl(
     W, L = words_tm.shape
     if L % TILE:
         raise ValueError(f"lane count {L} must be a multiple of {TILE}")
-    Wp = -(-W // W_CHUNK) * W_CHUNK
+    w_chunk = _pick_w_chunk(W)
+    Wp = -(-W // w_chunk) * w_chunk
     if Wp != W:
         words_tm = jnp.pad(words_tm, ((0, Wp - W), (0, 0)))
     n_tiles = L // TILE
@@ -450,13 +452,28 @@ def _decode_words_tm_impl(
     return _decode_tiled(
         words_t, ii, history.reshape(L, 4), weight.reshape(L, 4),
         T, bits_per_sample, corrections, with_head=with_head,
-        as_int16=True, packed_out=packed_out,
+        as_int16=True, packed_out=packed_out, w_chunk=w_chunk,
     )
+
+
+def _pick_w_chunk(W: int) -> int:
+    """Largest divisor of W in [8, 128], else the default W_CHUNK.
+
+    A divisor chunk means zero word padding: for exact-fit geometries
+    (wire32.data_words_padded) the kernel's head-integrated output then has
+    no pad rows at all and the caller's sample slice is a no-op — one whole
+    output pass saved. VMEM stays bounded (<= 128-word input block + 512-row
+    output block, double-buffered ~= 5 MB).
+    """
+    for c in range(min(W, 128), 7, -1):
+        if W % c == 0:
+            return c
+    return W_CHUNK
 
 
 def _decode_tiled(
     words_t, ii, h, w, T, bits_per_sample, corrections, with_head=False,
-    as_int16=False, packed_out=False,
+    as_int16=False, packed_out=False, w_chunk=W_CHUNK,
 ):
     """Shared kernel launch: (Wp, tiles, 8, 128) words + (Lp,...) states."""
     Wp, n_tiles = words_t.shape[0], words_t.shape[1]
@@ -466,13 +483,14 @@ def _decode_tiled(
     w_t = w.T.reshape(4, n_tiles, SUBLANES, LANES).transpose(1, 0, 2, 3)
 
     lane_block = lambda i, j: (i, 0, 0, 0)
-    grid = (n_tiles, Wp // W_CHUNK)
+    grid = (n_tiles, Wp // w_chunk)
     out = pl.pallas_call(
-        _make_kernel(bits_per_sample, corrections, with_head=with_head),
+        _make_kernel(bits_per_sample, corrections, with_head=with_head,
+                     w_chunk=w_chunk),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (W_CHUNK, 1, SUBLANES, LANES),
+                (w_chunk, 1, SUBLANES, LANES),
                 lambda i, j: (j, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -484,7 +502,7 @@ def _decode_tiled(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (W_CHUNK * 4, 1, SUBLANES, LANES),
+            (w_chunk * 4, 1, SUBLANES, LANES),
             lambda i, j: (j, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),

@@ -72,7 +72,16 @@ def data_words_padded(geo: BlockGeometry) -> int:
         per_group = 2 if nch == 1 else 1          # k=1
     else:  # bps == 3, k=3
         per_group = 2 if nch == 2 else 4
-    # groups needed so kernel words per channel align to W_CHUNK (32)
+    # Exact fit first: when the per-channel kernel word count can be made
+    # exactly nspb/8, the decode kernel's head-integrated output has zero
+    # pad rows and the whole final sample-slice pass disappears (the fused
+    # kernel adapts its time-chunk size to any divisor-friendly W).
+    nspb = geo.num_samples_per_block
+    if nspb % 8 == 0:
+        wk_exact = nspb // 8  # = (T + 4) / 8: exactly the 4-slot head slack
+        if wk_exact % per_group == 0 and wk_exact // per_group * k >= wd:
+            return wk_exact // per_group * k
+    # Otherwise: align kernel words per channel to a 32-word granule.
     groups = -(-wd // k)
     g_align = -(-32 // per_group)
     groups = -(-groups // g_align) * g_align
