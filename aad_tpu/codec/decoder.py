@@ -293,11 +293,20 @@ class Decoder:
         file lengths share O(log) compiled pipelines instead of one per
         length — padding blocks decode garbage that is sliced away.
         """
-        from ..format.geometry import num_blocks_for
+        from ..format.geometry import encoded_stream_size, num_blocks_for
         from ..ops.wire32 import payload_to_words, supports_wire32
+        from .result import InsufficientDataError
 
         h = self.header
         geo = self.geometry
+        payload = np.asarray(payload, dtype=np.uint8)
+        need = encoded_stream_size(geo, h.num_samples)
+        if payload.shape[-1] < need:
+            # Match the framed and native engines: a mid-stream cut is an
+            # error, never silent garbage (see format.framing.split_blocks).
+            raise InsufficientDataError(
+                f"payload holds {payload.shape[-1]} bytes; {need} required"
+            )
         nblocks = num_blocks_for(h.num_samples, h.num_samples_per_block)
         nb_padded = _bucket_blocks(nblocks) if bucket else nblocks
         if supports_wire32(geo):
@@ -307,9 +316,7 @@ class Decoder:
                 # is sliced away (the kernel pads internally regardless).
                 lane_mult = max(1, 1024 // geo.num_channels)
                 nb_padded = -(-nb_padded // lane_mult) * lane_mult
-            words = payload_to_words(
-                np.asarray(payload, dtype=np.uint8), geo, nb_padded
-            )
+            words = payload_to_words(payload, geo, nb_padded)
             lanes = _device_pipeline_words_jit(
                 jnp.asarray(words),
                 geo=geo,
@@ -328,9 +335,8 @@ class Decoder:
             return full[:, : h.num_samples]
         total = nb_padded * geo.block_size
         buf = np.zeros(total, dtype=np.uint8)
-        src = np.asarray(payload, dtype=np.uint8)
-        n = min(src.shape[0], nblocks * geo.block_size)
-        buf[:n] = src[:n]
+        n = min(payload.shape[0], nblocks * geo.block_size)
+        buf[:n] = payload[:n]
         full = _device_pipeline_jit(
             jnp.asarray(buf),
             geo=geo,

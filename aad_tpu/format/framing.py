@@ -32,6 +32,7 @@ from ..constants import FILE_HEADER_SIZE, FILTER_ORDER, TABLES_FLOAT_DIGITS
 from ..format.geometry import (
     BlockGeometry,
     encoded_block_bytes,
+    encoded_stream_size,
     last_block_valid_samples,
     num_blocks_for,
 )
@@ -82,7 +83,13 @@ def split_blocks(payload: np.ndarray, header: HeaderInfo, geo: BlockGeometry):
     nspb = header.num_samples_per_block
     nblocks = num_blocks_for(header.num_samples, nspb)
     valid_last = last_block_valid_samples(header.num_samples, nspb)
-    need = (nblocks - 1) * geo.block_size + geo.header_bytes
+    # Strict: the full wire size declared by the header must be present
+    # (trailing garbage beyond it is tolerated — the stream is
+    # self-delimiting by num_samples). The reference decoder instead decodes
+    # whatever prefix is present and silently returns a zero tail
+    # (src/aad_decoder.c:514-534) — a data-loss footgun this framework
+    # deliberately rejects, matching the native engine (tests/test_native.py).
+    need = encoded_stream_size(geo, header.num_samples)
     if payload.shape[-1] < need:
         raise InsufficientDataError(
             f"payload holds {payload.shape[-1]} bytes; "

@@ -428,8 +428,8 @@ def _fused_impl(
     grid = (n_tiles, B)
     if stream:
         words_specs = [
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ]
         stream_scratch = [
             pltpu.VMEM((STREAM_CHUNK, SUBLANES, LANES), jnp.int32),

@@ -12,9 +12,11 @@ associative-scan phase A, Pallas LMS phase B, channel recombination. Timing
 serialises iterations through a data dependency and materialises the result,
 so asynchronous dispatch cannot fake completion.
 
-Baseline: the reference C decoder measured end-to-end via its CLI on this
-machine class (2-minute stereo 48 kHz file): 25.4e6 samples/s. When the
-reference binary is present it is re-measured live instead.
+Baselines: the reference C codec measured end-to-end via its CLI, live on
+this host — the binary is built out-of-tree on demand from /root/reference
+(oracle only, never linked). Recorded constants (decode 25.4e6, encode
+6.3e6 samples/s, from a faster machine class) are used only when the
+sources or compiler are unavailable.
 """
 
 from __future__ import annotations
@@ -29,9 +31,12 @@ import time
 
 import numpy as np
 
-# Default recorded baseline (C reference `aad -d` wall clock, see docstring).
+# Default recorded baselines (C reference CLI wall clock, see docstring).
+# Used only when the reference sources are unavailable to re-measure live.
 C_DECODE_BASELINE = 25.4e6
+C_ENCODE_BASELINE = 6.3e6
 REF_BINARY = pathlib.Path(os.environ.get("AAD_REF_BINARY", "/tmp/refbuild/aad"))
+REF_SOURCES = pathlib.Path("/root/reference")
 
 SECONDS = int(os.environ.get("AAD_BENCH_SECONDS", "600"))
 RATE = 48000
@@ -68,10 +73,43 @@ def build_synthetic_stream(num_samples: int):
     return encode_header(header) + payload.tobytes(), header
 
 
-def measure_reference_baseline() -> float:
-    """Re-measure the C decoder when available; fall back to the constant."""
-    if not REF_BINARY.exists():
-        return C_DECODE_BASELINE
+def _ensure_reference_binary() -> pathlib.Path | None:
+    """Build the reference CLI out-of-tree on demand (conformance oracle only).
+
+    Returns the binary path, or None when sources/compiler are unavailable.
+    """
+    if REF_BINARY.exists():
+        return REF_BINARY
+    if not (REF_SOURCES / "src").is_dir() or not (REF_SOURCES / "Makefile").exists():
+        return None
+    try:
+        import shutil
+
+        if shutil.which("gcc") is None:
+            return None
+        build = REF_BINARY.parent
+        build.mkdir(parents=True, exist_ok=True)
+        if not (build / "src").exists():
+            shutil.copytree(REF_SOURCES / "src", build / "src")
+            shutil.copy(REF_SOURCES / "Makefile", build / "Makefile")
+        subprocess.run(
+            ["make", "-s"], cwd=build, check=True, capture_output=True, timeout=120
+        )
+        return REF_BINARY if REF_BINARY.exists() else None
+    except Exception:
+        return None
+
+
+def measure_reference_baselines() -> tuple[float, float]:
+    """(decode, encode) samples/s of the C reference CLI, measured live on
+    this host when possible; recorded constants otherwise.
+
+    Live measurement keeps ``vs_baseline`` honest across host speeds — the
+    recorded constants came from a faster machine class.
+    """
+    binary = _ensure_reference_binary()
+    if binary is None:
+        return C_DECODE_BASELINE, C_ENCODE_BASELINE
     try:
         sys.path.insert(0, str(pathlib.Path(__file__).parent / "tests"))
         from util import write_pcm16_wav  # type: ignore
@@ -83,21 +121,25 @@ def measure_reference_baseline() -> float:
         wav = pathlib.Path("/tmp/aad_bench_ref_in.wav")
         write_pcm16_wav(wav, pcm, RATE)
         aad = pathlib.Path("/tmp/aad_bench_ref.aad")
-        subprocess.run(
-            [str(REF_BINARY), "-e", str(wav), str(aad)],
-            check=True, capture_output=True, timeout=300,
-        )
-        best = 0.0
+        enc_best = 0.0
         for _ in range(3):  # best-of-3: most favourable to the reference
             t0 = time.time()
             subprocess.run(
-                [str(REF_BINARY), "-d", str(aad), "/tmp/aad_bench_ref_out.wav"],
+                [str(binary), "-e", str(wav), str(aad)],
                 check=True, capture_output=True, timeout=300,
             )
-            best = max(best, (n * NCH) / (time.time() - t0))
-        return best
+            enc_best = max(enc_best, (n * NCH) / (time.time() - t0))
+        dec_best = 0.0
+        for _ in range(3):
+            t0 = time.time()
+            subprocess.run(
+                [str(binary), "-d", str(aad), "/tmp/aad_bench_ref_out.wav"],
+                check=True, capture_output=True, timeout=300,
+            )
+            dec_best = max(dec_best, (n * NCH) / (time.time() - t0))
+        return dec_best, enc_best
     except Exception:
-        return C_DECODE_BASELINE
+        return C_DECODE_BASELINE, C_ENCODE_BASELINE
 
 
 def main() -> None:
@@ -157,20 +199,20 @@ def main() -> None:
 
     samples = header.num_samples * header.num_channels
     value = samples / dt
-    baseline = measure_reference_baseline()
+    baseline, enc_baseline = measure_reference_baselines()
 
-    enc_value, enc_baseline = measure_encode()
+    enc_value = measure_encode()
     extra = {}
     if enc_value:
         extra = {
             "encode_samples_per_sec": round(enc_value),
             "encode_vs_baseline": round(enc_value / enc_baseline, 2),
         }
-    single_value, single_baseline = measure_encode_single_stream()
+    single_value = measure_encode_single_stream()
     if single_value:
         extra["encode_single_stream_samples_per_sec"] = round(single_value)
         extra["encode_single_stream_vs_baseline"] = round(
-            single_value / single_baseline, 2
+            single_value / enc_baseline, 2
         )
     print(
         json.dumps(
@@ -188,7 +230,7 @@ def main() -> None:
 def measure_encode():
     """Secondary metric: batch encode throughput (trials=2, the CLI default).
 
-    Returns (samples/s, C-encoder baseline samples/s); (0, 1) on failure.
+    Returns samples/s; 0 on failure.
     """
     try:
         import jax
@@ -227,12 +269,9 @@ def measure_encode():
             tok = step(blocks, tok)
         float(tok)
         dt = (time.time() - t0) / iters
-
-        # C encoder baseline on this machine class (see BASELINE notes).
-        enc_baseline = 6.3e6
-        return total / dt, enc_baseline
+        return total / dt
     except Exception:
-        return 0, 1
+        return 0
 
 
 def measure_encode_single_stream():
@@ -241,8 +280,8 @@ def measure_encode_single_stream():
     Measures the framework's auto-routed single-stream path: one stereo
     stream through ``aad_tpu.encode`` (engine="auto" -> the native engine;
     a lone stream is latency-bound on the VPU's serial sample chain, see
-    docs/DESIGN.md §3). Baseline: the reference C encoder on this machine
-    class (6.3e6 samples/s). Returns (samples/s, baseline); (0, 1) on
+    docs/DESIGN.md §3). Baseline: the reference C encoder measured live on
+    this host (see measure_reference_baselines). Returns samples/s; 0 on
     failure.
     """
     try:
@@ -259,9 +298,9 @@ def measure_encode_single_stream():
             t0 = time.time()
             encode(pcm, cfg)
             best = max(best, n * NCH / (time.time() - t0))
-        return best, 6.3e6
+        return best
     except Exception:
-        return 0, 1
+        return 0
 
 
 if __name__ == "__main__":

@@ -102,3 +102,38 @@ def test_ondevice_bucketed_decode(fixture_dir):
     assert _bucket_blocks(5) == 5  # tiny files unbucketed
     for n in (1, 9, 100, 5000):
         assert _bucket_blocks(n) >= n
+
+
+class TestTruncationJaxEngines:
+    """Mid-stream cuts must raise typed errors on every decode path — never
+    silently return a garbage tail. Stricter than the reference, which
+    decodes whatever prefix exists and returns OK with a zero tail
+    (reference: src/aad_decoder.c:514-534); matches the native engine
+    (tests/test_native.py::TestRobustness)."""
+
+    @pytest.fixture(scope="class")
+    def stream(self, fixture_dir):
+        return (fixture_dir / "sin300Hz.aad").read_bytes()
+
+    @pytest.mark.parametrize("cut", [40, 200, 5000, -1, -50])
+    def test_whole_decode_truncated_raises(self, stream, cut):
+        from aad_tpu.codec.result import InsufficientDataError
+
+        blob = stream[:cut] if cut > 0 else stream[: len(stream) + cut]
+        with pytest.raises(InsufficientDataError):
+            decode(blob, engine="scan")
+
+    @pytest.mark.parametrize("cut", [1, 4000])
+    def test_ondevice_pipeline_truncated_raises(self, stream, cut):
+        from aad_tpu import FILE_HEADER_SIZE, Decoder, decode_header
+        from aad_tpu.codec.result import InsufficientDataError
+
+        dec = Decoder.from_header(decode_header(stream), engine="scan")
+        payload = np.frombuffer(stream, dtype=np.uint8)[FILE_HEADER_SIZE:]
+        with pytest.raises(InsufficientDataError):
+            dec.decode_payload_ondevice(payload[:-cut])
+
+    def test_trailing_garbage_tolerated(self, stream):
+        header, want = decode(stream, engine="scan")
+        _, got = decode(stream + b"\xa5" * 13, engine="scan")
+        np.testing.assert_array_equal(got, want)
