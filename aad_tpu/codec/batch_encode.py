@@ -64,12 +64,35 @@ def encode_batch(
         np.asarray(lengths)[None, :] - np.arange(B)[:, None] * nspb, 0, nspb
     ).astype(np.int32)
 
+    ms = config.ch_process_method == CH_PROCESS_MS
+    valid_j = jnp.asarray(valid)[:, :, None]  # (B, S, 1) -> lanes (S, C)
+    from ..ops.wire32 import supports_wire32, wire_words_to_payload
+
+    if supports_wire32(geo):
+        # fully on-device pipeline: codes stay packed, headers and the
+        # channel-interleaved wire are assembled as u32 words (see
+        # codec.encoder._encode_device_wire); per-stream payloads are free
+        # host byte views of the word rows.
+        from .encoder import _encode_device_wire
+
+        words = np.asarray(
+            _encode_device_wire(
+                jnp.asarray(blocks), valid_j, geo=geo,
+                num_trials=config.num_encode_trials, ms=ms, engine=engine,
+            )
+        )  # (B, S, wpb)
+        return [
+            encode_header(config.header_for(n))
+            + wire_words_to_payload(words[:, s], geo, n).tobytes()
+            for s, n in enumerate(lengths)
+        ]
+
     jb = jnp.asarray(blocks)
-    if config.ch_process_method == CH_PROCESS_MS:
+    if ms:
         jb = lr_to_ms(jb)
     headers, codes = encode_stream_blocks(
         jb,
-        jnp.asarray(valid)[:, :, None],  # (B, S, 1) -> lanes (S, C)
+        valid_j,
         config.bits_per_sample,
         config.num_encode_trials,
         engine=engine,

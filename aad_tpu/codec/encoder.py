@@ -105,6 +105,41 @@ def _encode_device(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("geo", "num_trials", "ms", "engine")
+)
+def _encode_device_wire(
+    blocks, valid, *, geo: BlockGeometry, num_trials: int, ms: bool, engine: str
+):
+    """Whole encode on device: padded PCM -> (B, wpb) u32 wire-word rows.
+
+    The encode mirror of the decoder's wire32 pipeline: trial search + code
+    emission (packed words straight from the kernel), block-header field
+    packing, the channel-interleave wire permutation and the row assembly
+    are all tensor ops under one jit; the host's only job afterwards is a
+    free little-endian byte view plus the final-block truncation
+    (ops.wire32.wire_words_to_payload). Skips the 8x nibble unpack and the
+    host-side byte assembly of the int32-codes path entirely.
+    """
+    from ..ops.encode import encode_stream_words
+    from ..ops.wire32 import (
+        assemble_wire_words,
+        build_header_words,
+        kernel_words_to_wire,
+    )
+
+    if ms:
+        blocks = lr_to_ms(blocks)
+    headers, kw, _ = encode_stream_words(
+        blocks, valid, geo.bits_per_sample, num_trials, engine=engine
+    )
+    hdr_u16 = build_header_words(
+        headers.step_index, headers.shift, headers.weight, headers.history, geo
+    )
+    data_words = kernel_words_to_wire(kw, geo)
+    return assemble_wire_words(hdr_u16, data_words, geo)
+
+
 def resolve_encode_engine(engine: str = "auto") -> str:
     """Resolve/warm the encode engine (Pallas on TPU, lax.scan elsewhere)."""
     if engine == "auto":
@@ -171,13 +206,34 @@ class Encoder:
         file_header = encode_header(header)
 
         blocks, valid, _ = _pad_to_blocks(pcm, self.geometry)
+        engine = (
+            self.engine if self.engine != "auto" else resolve_encode_engine()
+        )
+        ms = cfg.ch_process_method == CH_PROCESS_MS
+
+        from ..ops.wire32 import supports_wire32, wire_words_to_payload
+
+        if supports_wire32(self.geometry):
+            words = _encode_device_wire(
+                jnp.asarray(blocks),
+                jnp.asarray(valid),
+                geo=self.geometry,
+                num_trials=cfg.num_encode_trials,
+                ms=ms,
+                engine=engine,
+            )
+            payload = wire_words_to_payload(
+                np.asarray(words), self.geometry, num_samples
+            )
+            return file_header + payload.tobytes()
+
         hdr_fields, codes = _encode_device(
             jnp.asarray(blocks),
             jnp.asarray(valid),
             bits_per_sample=cfg.bits_per_sample,
             num_trials=cfg.num_encode_trials,
-            ms=cfg.ch_process_method == CH_PROCESS_MS,
-            engine=self.engine if self.engine != "auto" else resolve_encode_engine(),
+            ms=ms,
+            engine=engine,
         )
 
         states = BlockStates(

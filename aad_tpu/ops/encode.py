@@ -450,6 +450,44 @@ def encode_stream_blocks_pallas(
     return headers, unflat(codes), (out_state, blocks[-1])
 
 
+def encode_stream_words(
+    blocks: Array,
+    valid: Array,
+    bits_per_sample: int,
+    num_trials: int,
+    *,
+    carry: tuple[CodecState, Array] | None = None,
+    blocks_before: int | Array = 0,
+    engine: str = "scan",
+):
+    """As :func:`encode_stream_blocks_carry` but returning **packed** codes.
+
+    Returns (headers, kernel words (B, ..., Wk) uint32, carry') where every
+    u32 word holds 8 LSB-first 4-bit code slots (the fused kernels' native
+    format, ops.pallas_decode.pack_code_words). This is the wire pipeline's
+    entry: ops.wire32.kernel_words_to_wire consumes the words directly, so
+    the 8x nibble unpack/repack round trip of the int32-codes contract never
+    happens. The Pallas engine emits the words straight from its kernel;
+    the scan engine packs with one XLA shift/or chain.
+    """
+    if engine == "pallas":
+        from .pallas_encode_fused import encode_stream_fused
+
+        return encode_stream_fused(
+            blocks, valid, bits_per_sample, num_trials,
+            carry=carry, blocks_before=blocks_before, packed_codes=True,
+        )
+    headers, codes, carry_out = encode_stream_blocks_carry(
+        blocks, valid, bits_per_sample, num_trials,
+        carry=carry, blocks_before=blocks_before, engine=engine,
+    )
+    from .pallas_decode import pack_code_words
+
+    T = codes.shape[-1]
+    kw = pack_code_words(codes.reshape(-1, T).astype(jnp.uint32))
+    return headers, kw.reshape(*codes.shape[:-1], -1), carry_out
+
+
 def lr_to_ms(pcm: Array) -> Array:
     """LR -> mid/side with the halving shift and int16 clips.
 

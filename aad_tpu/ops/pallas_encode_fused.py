@@ -62,14 +62,32 @@ from .pallas_decode import (
 
 # VMEM budget for the resident-block variant: cur + prev packed words
 # (W2 = nspb/2 words each), double-buffered by Mosaic, plus the code-word
-# output — roughly 4.5 * W2 * 4 KB against the 16 MB scoped limit, so
-# W2 <= ~832 (mono 4-bit 1024-byte blocks, W2=1008, measured 17.75 MB and
-# OOMed at the old 2112 threshold). Above this the kernel switches to
-# manual chunked DMA (words stay in HBM; see _make_kernel stream_chunk),
-# so every geometry is supported in the single-execution path.
+# output — roughly 4.5 * W2 * 4 KB per lane tile against the 16 MB scoped
+# limit, so R * W2 <= ~832 (mono 4-bit 1024-byte blocks, W2=1008, measured
+# 17.75 MB and OOMed at the old 2112 threshold). Above this the kernel
+# switches to manual chunked DMA (words stay in HBM; see _make_kernel
+# stream_chunk), so every geometry is supported in the single-execution
+# path. The budget scales with R, the lane-interleave factor below.
 MAX_NSPB_RESIDENT = 1664
-# HBM->VMEM chunk for the streaming variant (words; x2 samples each).
-STREAM_CHUNK = 256
+# HBM->VMEM chunk for the streaming variant (words; x2 samples each),
+# double-buffered (2 slots in scratch), so VMEM = 2*chunk*R*4 KB.
+STREAM_CHUNK = 128
+# Lane-interleave factor: process R independent (8, 128) lane tiles per
+# grid step, folded onto the sublane axis as one (R*8, 128) vector working
+# set. The encoder is bound by the per-sample dependent-op chain on the
+# VPU (measured 72 cyc/step at R=1); R independent chains give the
+# scheduler work to hide that latency. Measured per-pass throughput on
+# v5e (W=512 words): R=1 17.5, R=2 26.6, R=4 27.8 Gsamples/s — a 1.56x
+# kernel speedup that carries straight to end-to-end batch encode.
+MAX_INTERLEAVE = 4
+
+
+def _pick_interleave(num_lanes: int) -> int:
+    """Largest R in [1, MAX_INTERLEAVE] without padding past the lane count."""
+    r = 1
+    while r < MAX_INTERLEAVE and r * TILE < num_lanes:
+        r *= 2
+    return r
 
 
 def supports_fused_encode(num_samples_per_block: int) -> bool:
@@ -79,15 +97,15 @@ def supports_fused_encode(num_samples_per_block: int) -> bool:
 
 def _make_kernel(
     bits_per_sample: int, corrections, num_trials: int, n_words: int,
-    n_codes: int, stream_chunk: int | None = None,
+    n_codes: int, stream_chunk: int | None = None, r: int = 1,
 ):
     signbit = 1 << (bits_per_sample - 1)
     absmask = signbit - 1
     wshift = FIXEDPOINT_DIGITS + LMSFILTER_SHIFT
-    SHAPE = (SUBLANES, LANES)
+    SHAPE = (r * SUBLANES, LANES)
 
     def kernel(
-        cur_w_ref, prev_w_ref, cur_h_ref, prev_h_ref, valid_ref,
+        cur_w_ref, prev_w_ref, prev0_w_ref, cur_h_ref, prev_h_ref, valid_ref,
         idx_ref, h_ref, w_ref, bb_ref,
         codes_ref, hdr_ref,
         state, *stream_scratch,
@@ -95,46 +113,93 @@ def _make_kernel(
         b = pl.program_id(1)
         lane_tile = pl.program_id(0)
 
+        # ``prev_w_ref`` is the SAME array as ``cur_w_ref`` passed through a
+        # second spec: shifted index map (resident) or an explicit b-1 DMA
+        # index (streaming). The previous trial-warm-up block is therefore
+        # re-read in place instead of materialising a whole-array shifted
+        # copy on the XLA side (a 2x-payload-sized device copy, measured
+        # ~0.8 ms of a ~10 ms batch encode). Block 0's previous block — the
+        # streaming-carry block — comes from the small prev0 input, selected
+        # by lax.cond so only one source is ever streamed.
+
         if stream_chunk is None:
-            def stream_words(words_ref, body, carry):
+            def stream_words(words_ref, bi, body, carry):
                 """Iterate (word_index, word, carry) over a VMEM-resident
-                block."""
+                block (block choice is baked into the ref's index map)."""
+                del bi
                 return lax.fori_loop(
                     0, n_words,
                     lambda wi, c: body(wi, words_ref[0, wi, 0], c),
                     carry,
                 )
+
+            def stream_groups4(words_ref, bi, body4, carry):
+                """Iterate groups of 4 words (one code word's worth) with
+                static in-group positions — the emit pass packs codes with
+                static shift amounts this way (a traced shift per sample
+                measured ~7x slower than the whole measure pass)."""
+                del bi
+
+                def g_step(g, c):
+                    ws = tuple(words_ref[0, 4 * g + j, 0] for j in range(4))
+                    return body4(g, ws, c)
+
+                return lax.fori_loop(0, n_words // 4, g_step, carry)
         else:
             buf, sem = stream_scratch
             n_chunks = n_words // stream_chunk
 
-            def stream_words(words_ref, body, carry):
-                """Iterate words of an HBM-resident block via chunked DMA.
+            def _dma_loop(words_ref, bi, chunk_body, carry):
+                """Double-buffered chunked DMA over block ``bi``'s words.
 
-                Large blocks (3-bit 1024-byte geometry: 2684 samples) do not
-                fit VMEM twice over (cur+prev, double-buffered); streaming
-                ``stream_chunk``-word pieces bounds VMEM at ~1 MB while the
-                compute stays the same dependent chain.
+                Chunk ci+1's copy is issued before chunk ci is consumed, so
+                the DMA rides under the compute (the chain is compute-bound;
+                the overlap recovered ~10% on the probe) while VMEM stays
+                ~2 MB.
                 """
 
-                def chunk_step(ci, c):
-                    cp = pltpu.make_async_copy(
+                def copy(ci, slot):
+                    return pltpu.make_async_copy(
                         words_ref.at[
-                            b, pl.ds(ci * stream_chunk, stream_chunk),
+                            bi, pl.ds(ci * stream_chunk, stream_chunk),
                             lane_tile,
                         ],
-                        buf,
-                        sem,
+                        buf.at[slot],
+                        sem.at[slot],
                     )
-                    cp.start()
-                    cp.wait()
 
+                copy(0, 0).start()
+
+                def chunk_step(ci, c):
+                    slot = lax.rem(ci, 2)
+
+                    @pl.when(ci + 1 < n_chunks)
+                    def _prefetch():
+                        copy(ci + 1, 1 - slot).start()
+
+                    copy(ci, slot).wait()
+                    return chunk_body(ci, slot, c)
+
+                return lax.fori_loop(0, n_chunks, chunk_step, carry)
+
+            def stream_words(words_ref, bi, body, carry):
+                def chunk_body(ci, slot, c):
                     def inner(wj, c2):
-                        return body(ci * stream_chunk + wj, buf[wj], c2)
+                        return body(ci * stream_chunk + wj, buf[slot, wj], c2)
 
                     return lax.fori_loop(0, stream_chunk, inner, c)
 
-                return lax.fori_loop(0, n_chunks, chunk_step, carry)
+                return _dma_loop(words_ref, bi, chunk_body, carry)
+
+            def stream_groups4(words_ref, bi, body4, carry):
+                def chunk_body(ci, slot, c):
+                    def inner(gj, c2):
+                        ws = tuple(buf[slot, 4 * gj + j] for j in range(4))
+                        return body4(ci * (stream_chunk // 4) + gj, ws, c2)
+
+                    return lax.fori_loop(0, stream_chunk // 4, inner, c)
+
+                return _dma_loop(words_ref, bi, chunk_body, carry)
 
         @pl.when(b == 0)
         def _init():
@@ -193,7 +258,7 @@ def _make_kernel(
                 st[4], st[5], st[6], st[7], st[8],
             )
 
-        def measure(st, words_ref, live_mask_fn):
+        def measure(st, words_ref, bi, live_mask_fn):
             """Masked measure pass; returns (st', (sse_hi, sse_lo))."""
 
             def body(wi, word, carry):
@@ -214,7 +279,7 @@ def _make_kernel(
                 return (*st, sh, sl)
 
             zero = jnp.zeros(SHAPE, jnp.int32)
-            out = stream_words(words_ref, body, (*st, zero, zero))
+            out = stream_words(words_ref, bi, body, (*st, zero, zero))
             return out[:9], (out[9], out[10])
 
         def u64_less(a, b):
@@ -235,15 +300,20 @@ def _make_kernel(
             nspb_live = lambda gt: hp & (gt < n_codes)
 
             baseline = seed(st, cur_h_ref, jnp.full(SHAPE, True))
-            _, min_sse = measure(baseline, cur_w_ref, live_cur)
+            _, min_sse = measure(baseline, cur_w_ref, b, live_cur)
             best = st
             walker = st
             for _ in range(num_trials):
                 walker = seed(walker, prev_h_ref, hp)
-                walker, _ = measure(walker, prev_w_ref, nspb_live)
+                walker, _ = lax.cond(
+                    b == 0,
+                    lambda s: measure(s, prev0_w_ref, 0, nspb_live),
+                    lambda s: measure(s, prev_w_ref, b - 1, nspb_live),
+                    walker,
+                )
                 candidate = walker
                 walker = seed(walker, cur_h_ref, valid >= FILTER_ORDER)
-                walker, sse = measure(walker, cur_w_ref, live_cur)
+                walker, sse = measure(walker, cur_w_ref, b, live_cur)
                 # valid < 4: the reference's early return — state stays at
                 # the candidate, error is zero (never better than baseline).
                 skip = valid < FILTER_ORDER
@@ -279,31 +349,29 @@ def _make_kernel(
         hdr_ref[0, 0, 9] = shift
 
         # ---- data section: encode whole padded block, emit code words ---
-        # 4 input sample-pair words = 8 codes = one packed code word; the
-        # partial code word rides the stream carry and flushes every 4th
-        # input word.
-        def enc_word(wi, word, carry):
-            st, cw = carry[:9], carry[9]
-            j = wi & 3
-            lo = (word << 16) >> 16
-            hi = word >> 16
-            for k, sample in ((0, lo), (1, hi)):
-                code, _q, st2 = sample_step(sample, st)
-                live = (wi * 2 + k) < n_codes
-                st = tuple(jnp.where(live, a, b_) for a, b_ in zip(st2, st))
-                cw = cw | (code << (4 * (2 * j + k)))
+        # 4 input sample-pair words = 8 codes = one packed code word. The
+        # group iterator keeps the in-group position static, so every
+        # ``code << shift`` is a constant shift and the flush store is
+        # unconditional (a traced shift amount + per-word conditional flush
+        # measured ~7x the cost of a measure pass).
+        def enc_group(g, ws, carry):
+            st = carry
+            cw = None
+            for j in range(4):
+                lo = (ws[j] << 16) >> 16
+                hi = ws[j] >> 16
+                for k, sample in ((0, lo), (1, hi)):
+                    code, _q, st2 = sample_step(sample, st)
+                    live = (g * 8 + 2 * j + k) < n_codes
+                    st = tuple(
+                        jnp.where(live, a, b_) for a, b_ in zip(st2, st)
+                    )
+                    piece = code << (4 * (2 * j + k))
+                    cw = piece if cw is None else cw | piece
+            codes_ref[0, g, 0] = cw
+            return st
 
-            @pl.when(j == 3)
-            def _flush():
-                codes_ref[0, wi // 4, 0] = cw
-
-            cw = jnp.where(j == 3, 0, cw)
-            return (*st, cw)
-
-        out = stream_words(
-            cur_w_ref, enc_word, (*st, jnp.zeros(SHAPE, jnp.int32))
-        )
-        st = out[:9]
+        st = stream_groups4(cur_w_ref, b, enc_group, st)
         for k in range(9):
             state[k] = st[k]
 
@@ -318,11 +386,16 @@ def encode_stream_fused(
     *,
     carry=None,
     blocks_before=0,
+    packed_codes: bool = False,
 ):
     """One-execution whole-stream encode. Same contract as
     ops.encode.encode_stream_blocks_carry (lane axes folded internally).
 
-    Returns (headers, codes, carry') with the same pytree shapes.
+    Returns (headers, codes, carry') with the same pytree shapes. With
+    ``packed_codes`` the codes stay in the kernel's packed-word format —
+    (B, ..., W8) uint32, 8 LSB-first 4-bit code slots per word (slots past
+    codes_per_block hold garbage from the zero-pad sample slots) — feeding
+    ops.wire32.kernel_words_to_wire without the 8x nibble-unpack pass.
     """
     from .encode import BlockHeaderFields
     from .transitions import CodecState
@@ -357,6 +430,7 @@ def encode_stream_fused(
         bits_per_sample=bits_per_sample,
         num_trials=num_trials,
         corrections=corrections,
+        packed_codes=packed_codes,
     )
 
     def unflat(x):
@@ -378,51 +452,64 @@ def encode_stream_fused(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits_per_sample", "num_trials", "corrections"),
+    static_argnames=(
+        "bits_per_sample", "num_trials", "corrections", "packed_codes"
+    ),
 )
 def _fused_impl(
     flat, prev0, valid, step_index, history, weight, blocks_before,
-    *, bits_per_sample, num_trials, corrections,
+    *, bits_per_sample, num_trials, corrections, packed_codes=False,
 ):
     B, L, nspb = flat.shape
     T = nspb - FILTER_ORDER
+    R = _pick_interleave(L)
+    RS = R * SUBLANES
     W2 = -(-T // 8) * 4          # packed sample words per block (pad to 8 samples)
-    stream = nspb > MAX_NSPB_RESIDENT
+    stream = R * nspb > MAX_NSPB_RESIDENT
     if stream:
         # chunked-DMA variant: words stay in HBM, pad to whole chunks
         W2 = -(-W2 // STREAM_CHUNK) * STREAM_CHUNK
     W8 = W2 // 4                 # code words per block
 
-    Lp = -(-L // TILE) * TILE
-    n_tiles = Lp // TILE
+    Lp = -(-L // (R * TILE)) * (R * TILE)
+    n_tiles = Lp // (R * TILE)   # grid groups of R interleaved lane tiles
 
-    def pack_lane_words(x):  # (b, L, T) -> (b, W2, n_tiles, 8, 128)
+    def pack_lane_words(x, off):  # (b, L, nspb) -> (b, W2, n_tiles, R*8, 128)
         b_ = x.shape[0]
-        xp = jnp.pad(x, ((0, 0), (0, Lp - L), (0, W2 * 2 - T)))
-        lo = xp[..., 0::2] & jnp.int32(0xFFFF)
-        hi = xp[..., 1::2] << 16
-        w = hi | lo  # (b, Lp, W2)
-        return w.reshape(b_, n_tiles, SUBLANES, LANES, W2).transpose(0, 4, 1, 2, 3)
+        # Strided loads straight from the full sample array (no
+        # materialised ``x[..., off:]`` slice — that intermediate plus its
+        # relayout measured ~0.8 ms of a ~7 ms batch encode), packing
+        # first and padding the 8x-smaller word array after.
+        Te = T & ~1
+        lo = x[..., off : off + Te : 2] & jnp.int32(0xFFFF)
+        hi = x[..., off + 1 : off + Te : 2] << 16
+        w = hi | lo  # (b, L, Te//2)
+        if T & 1:
+            w = jnp.concatenate(
+                [w, x[..., off + T - 1 : off + T] & jnp.int32(0xFFFF)],
+                axis=-1,
+            )
+        w = jnp.pad(w, ((0, 0), (0, Lp - L), (0, W2 - w.shape[-1])))
+        return w.reshape(b_, n_tiles, RS, LANES, W2).transpose(0, 4, 1, 2, 3)
 
-    def lane_tiles(x, k):  # (b, L, k) -> (b, n_tiles, k, 8, 128)
+    def lane_tiles(x, k):  # (b, L, k) -> (b, n_tiles, k, R*8, 128)
         b_ = x.shape[0]
         xp = jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
-        return xp.reshape(b_, n_tiles, SUBLANES, LANES, k).transpose(0, 1, 4, 2, 3)
+        return xp.reshape(b_, n_tiles, RS, LANES, k).transpose(0, 1, 4, 2, 3)
 
-    cur_w = pack_lane_words(flat[..., FILTER_ORDER:])
-    prev_w0 = pack_lane_words(prev0[None, ..., FILTER_ORDER:])[0]
-    prev_w = jnp.concatenate([prev_w0[None], cur_w[:-1]], axis=0)
+    cur_w = pack_lane_words(flat, FILTER_ORDER)
+    prev0_w = pack_lane_words(prev0[None], FILTER_ORDER)
     cur_h = lane_tiles(flat[..., :FILTER_ORDER], FILTER_ORDER)
     prev_h0 = lane_tiles(prev0[None, ..., :FILTER_ORDER], FILTER_ORDER)[0]
     prev_h = jnp.concatenate([prev_h0[None], cur_h[:-1]], axis=0)
     va_t = lane_tiles(valid[..., None], 1)
 
     ii0 = jnp.pad(step_index.astype(jnp.int32), (0, Lp - L))
-    ii_t = ii0.reshape(n_tiles, SUBLANES, LANES)[:, None]
+    ii_t = ii0.reshape(n_tiles, RS, LANES)[:, None]
     h0 = jnp.pad(history.astype(jnp.int32), ((0, Lp - L), (0, 0)))
-    h_t = h0.reshape(n_tiles, SUBLANES, LANES, 4).transpose(0, 3, 1, 2)
+    h_t = h0.reshape(n_tiles, RS, LANES, 4).transpose(0, 3, 1, 2)
     w0 = jnp.pad(weight.astype(jnp.int32), ((0, Lp - L), (0, 0)))
-    w_t = w0.reshape(n_tiles, SUBLANES, LANES, 4).transpose(0, 3, 1, 2)
+    w_t = w0.reshape(n_tiles, RS, LANES, 4).transpose(0, 3, 1, 2)
 
     lane5 = lambda i, b: (b, i, 0, 0, 0)
     grid = (n_tiles, B)
@@ -430,62 +517,72 @@ def _fused_impl(
         words_specs = [
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ]
         stream_scratch = [
-            pltpu.VMEM((STREAM_CHUNK, SUBLANES, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, STREAM_CHUNK, RS, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
         words_specs = [
-            pl.BlockSpec((1, W2, 1, SUBLANES, LANES),
+            pl.BlockSpec((1, W2, 1, RS, LANES),
                          lambda i, b: (b, 0, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W2, 1, SUBLANES, LANES),
-                         lambda i, b: (b, 0, i, 0, 0),
+            # the same array again, shifted one block back: the trial
+            # warm-up's input (clamped at 0; block 0 uses prev0 instead)
+            pl.BlockSpec((1, W2, 1, RS, LANES),
+                         lambda i, b: (jnp.maximum(b - 1, 0), 0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W2, 1, RS, LANES),
+                         lambda i, b: (0, 0, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         stream_scratch = []
     codes_t, hdr_t = pl.pallas_call(
         _make_kernel(bits_per_sample, corrections, num_trials, W2, T,
-                     stream_chunk=STREAM_CHUNK if stream else None),
+                     stream_chunk=STREAM_CHUNK if stream else None, r=R),
         grid=grid,
         in_specs=words_specs + [
-            pl.BlockSpec((1, 1, FILTER_ORDER, SUBLANES, LANES), lane5,
+            pl.BlockSpec((1, 1, FILTER_ORDER, RS, LANES), lane5,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, FILTER_ORDER, SUBLANES, LANES), lane5,
+            pl.BlockSpec((1, 1, FILTER_ORDER, RS, LANES), lane5,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, SUBLANES, LANES), lane5,
+            pl.BlockSpec((1, 1, 1, RS, LANES), lane5,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, SUBLANES, LANES),
+            pl.BlockSpec((1, 1, RS, LANES),
                          lambda i, b: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, SUBLANES, LANES),
+            pl.BlockSpec((1, 4, RS, LANES),
                          lambda i, b: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, SUBLANES, LANES),
+            pl.BlockSpec((1, 4, RS, LANES),
                          lambda i, b: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, W8, 1, SUBLANES, LANES),
+            pl.BlockSpec((1, W8, 1, RS, LANES),
                          lambda i, b: (b, 0, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 10, SUBLANES, LANES), lane5,
+            pl.BlockSpec((1, 1, 10, RS, LANES), lane5,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, W8, n_tiles, SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((B, n_tiles, 10, SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, W8, n_tiles, RS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, n_tiles, 10, RS, LANES), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((9, SUBLANES, LANES), jnp.int32)]
+        scratch_shapes=[pltpu.VMEM((9, RS, LANES), jnp.int32)]
         + stream_scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret_mode(),
-    )(cur_w, prev_w, cur_h, prev_h, va_t, ii_t, h_t, w_t,
+    )(cur_w, cur_w, prev0_w, cur_h, prev_h, va_t, ii_t, h_t, w_t,
       jnp.reshape(blocks_before, (1,)))
 
-    # unpack code words -> (B, L, T)
+    # code words -> lane-major (B, L, W8); unpack to int32 codes only when
+    # asked — the wire pipeline consumes the packed words directly.
     words = codes_t.transpose(0, 2, 3, 4, 1).reshape(B, Lp, W8)[:, :L]
-    nib = [(words >> (4 * k)) & 0xF for k in range(8)]
-    codes = jnp.stack(nib, axis=-1).reshape(B, L, W8 * 8)[..., :T]
+    if packed_codes:
+        codes = lax.bitcast_convert_type(words, jnp.uint32)
+    else:
+        nib = [(words >> (4 * k)) & 0xF for k in range(8)]
+        codes = jnp.stack(nib, axis=-1).reshape(B, L, W8 * 8)[..., :T]
 
     # header fields -> (B, L, 10)
     hdrs = hdr_t.transpose(0, 1, 3, 4, 2).reshape(B, Lp, 10)[:, :L]

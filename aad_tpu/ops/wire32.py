@@ -37,6 +37,10 @@ __all__ = [
     "parse_block_headers_u32",
     "wire_to_kernel_words",
     "kernel_words_to_codes",
+    "kernel_words_to_wire",
+    "build_header_words",
+    "assemble_wire_words",
+    "wire_words_to_payload",
 ]
 
 
@@ -317,3 +321,239 @@ def kernel_words_to_codes(kw: jax.Array, num_codes: int) -> jax.Array:
     parts = [((kw >> (4 * k)) & 0xF).astype(jnp.uint8) for k in range(8)]
     codes = jnp.stack(parts, axis=-1).reshape(*kw.shape[:-1], -1)
     return codes[..., :num_codes]
+
+
+# --- encode direction: kernel code words -> wire words -----------------------
+# The exact inverses of the decode-direction permutations above, so the whole
+# encoder output (block headers + channel-interleaved pack units) is
+# assembled as u32 words on device and the host's only job is a free byte
+# view plus the final-block truncation. Wire layout facts:
+# reference src/aad_encoder.c:618-655 (block header write),
+# src/aad_encoder.c:661-722 (per-bit-depth pack loops).
+
+
+def _compress2_16(x: jax.Array) -> jax.Array:
+    """16 bits of 4 LSB-first 4-bit slots -> one MSB-first 2-bit-code byte
+    (inverse of _expand2_byte)."""
+    return (
+        ((x & 0x3) << 6)
+        | (((x >> 4) & 0x3) << 4)
+        | (((x >> 8) & 0x3) << 2)
+        | ((x >> 12) & 0x3)
+    )
+
+
+def _compress3(v: jax.Array) -> jax.Array:
+    """u32 of 8 LSB-first 4-bit slots -> 24-bit MSB-first 3-bit octet
+    (inverse of _expand3)."""
+    out = jnp.zeros_like(v)
+    for k in range(8):
+        out = out | (((v >> (4 * k)) & 0x7) << (21 - 3 * k))
+    return out
+
+
+def kernel_words_needed(geo: BlockGeometry) -> int:
+    """Per-channel kernel words consumed by kernel_words_to_wire."""
+    nch, bps = geo.num_channels, geo.bits_per_sample
+    wd = data_words_padded(geo)
+    k = _deinterleave_factor(geo)
+    groups = wd // k
+    if bps == 4:
+        return groups
+    if bps == 2:
+        return groups if nch == 2 else 2 * groups
+    return 2 * groups if nch == 2 else 4 * groups
+
+
+def _deinterleave_words(kw: jax.Array, n: int) -> tuple[jax.Array, ...]:
+    """(..., n*G) -> n arrays (..., G), row-interleave inverse (time order)."""
+    if n == 1:
+        return (kw,)
+    g = kw.reshape(*kw.shape[:-1], kw.shape[-1] // n, n)
+    return tuple(g[..., i] for i in range(n))
+
+
+def kernel_words_to_wire(kw: jax.Array, geo: BlockGeometry) -> jax.Array:
+    """(..., C, Wk) kernel code words -> (..., Wd) wire data words.
+
+    Exact inverse of :func:`wire_to_kernel_words` (verified against
+    pack_codes by the conformance suite). ``Wk`` is padded/sliced to
+    :func:`kernel_words_needed`; code slots past codes_per_block land in
+    bytes past ``geo.data_bytes``, which the caller's block-size slice
+    drops, so their (garbage) content never reaches the wire.
+    """
+    assert supports_wire32(geo)
+    nch, bps = geo.num_channels, geo.bits_per_sample
+    need = kernel_words_needed(geo)
+    have = kw.shape[-1]
+    if have < need:
+        pad = [(0, 0)] * (kw.ndim - 1) + [(0, need - have)]
+        kw = jnp.pad(kw, pad)
+    elif have > need:
+        kw = kw[..., :need]
+    kw = kw.astype(jnp.uint32)
+    chans = [kw[..., c, :] for c in range(nch)]
+    ff = jnp.uint32(0xFF)
+    k = _deinterleave_factor(geo)
+
+    if bps == 4:
+        if nch == 1:
+            return _nibble_swap(chans[0])
+        c0 = _nibble_swap(chans[0])
+        c1 = _nibble_swap(chans[1])
+        a = (
+            (c0 & ff)
+            | ((c1 & ff) << 8)
+            | (((c0 >> 8) & ff) << 16)
+            | (((c1 >> 8) & ff) << 24)
+        )
+        b = (
+            ((c0 >> 16) & ff)
+            | (((c1 >> 16) & ff) << 8)
+            | (((c0 >> 24) & ff) << 16)
+            | (((c1 >> 24) & ff) << 24)
+        )
+        groups = (a, b)
+    elif bps == 2:
+        if nch == 1:
+            lo, hi = _deinterleave_words(chans[0], 2)
+            groups = (
+                _compress2_16(lo & 0xFFFF)
+                | (_compress2_16(lo >> 16) << 8)
+                | (_compress2_16(hi & 0xFFFF) << 16)
+                | (_compress2_16(hi >> 16) << 24),
+            )
+        else:
+            c0, c1 = chans
+            groups = (
+                _compress2_16(c0 & 0xFFFF)
+                | (_compress2_16(c1 & 0xFFFF) << 8)
+                | (_compress2_16(c0 >> 16) << 16)
+                | (_compress2_16(c1 >> 16) << 24),
+            )
+    else:  # bps == 3
+        if nch == 1:
+            vA, vB, vC, vD = (
+                _compress3(p) for p in _deinterleave_words(chans[0], 4)
+            )
+        else:
+            pA, pC = _deinterleave_words(chans[0], 2)
+            pB, pD = _deinterleave_words(chans[1], 2)
+            vA, vB, vC, vD = (_compress3(p) for p in (pA, pB, pC, pD))
+        g0 = (
+            ((vA >> 16) & ff)
+            | (((vA >> 8) & ff) << 8)
+            | ((vA & ff) << 16)
+            | (((vB >> 16) & ff) << 24)
+        )
+        g1 = (
+            ((vB >> 8) & ff)
+            | ((vB & ff) << 8)
+            | (((vC >> 16) & ff) << 16)
+            | (((vC >> 8) & ff) << 24)
+        )
+        g2 = (
+            (vC & ff)
+            | (((vD >> 16) & ff) << 8)
+            | (((vD >> 8) & ff) << 16)
+            | ((vD & ff) << 24)
+        )
+        groups = (g0, g1, g2)
+
+    if k == 1:
+        return groups[0]
+    return jnp.stack(groups, axis=-1).reshape(*kw.shape[:-2], -1)
+
+
+def _swap16(v: jax.Array) -> jax.Array:
+    """u16 value -> its big-endian byte pair as a little-endian u16."""
+    return ((v >> 8) & jnp.uint32(0xFF)) | ((v & jnp.uint32(0xFF)) << 8)
+
+
+def build_header_words(step_index, shift, weight, history, geo: BlockGeometry):
+    """Header fields -> list of (...,) u16 field values (big-endian content).
+
+    Field order per channel: tag = (step_index << 4) | shift, then
+    (weight >> shift, history) per tap — the exact byte layout of
+    format.framing.build_block_headers (reference: src/aad_encoder.c:618-655).
+    Leaves shaped (..., C[, 4]) like BlockHeaderFields. Returned as a plain
+    list (not a stacked array): assemble_wire_words pairs the fields into
+    words directly — stacking then re-slicing with stride 2 on the minor
+    axis lowered to a pathological strided fusion (0.53 ms of a 7 ms batch
+    encode for 64 KB of output).
+    """
+    fields = []
+    for ch in range(geo.num_channels):
+        sh = shift[..., ch].astype(jnp.uint32)
+        tag = (
+            (step_index[..., ch].astype(jnp.uint32) << TABLES_FLOAT_DIGITS)
+            | (sh & 0xF)
+        )
+        fields.append(tag)
+        for k in range(FILTER_ORDER):
+            w = (weight[..., ch, k].astype(jnp.int32) >> sh.astype(jnp.int32))
+            fields.append(w.astype(jnp.uint32) & 0xFFFF)
+            fields.append(history[..., ch, k].astype(jnp.uint32) & 0xFFFF)
+    return fields  # 9*C scalars-per-lane fields
+
+
+def assemble_wire_words(hdr_fields, data_words, geo: BlockGeometry) -> jax.Array:
+    """9*C header u16 fields + (..., Wd) data words -> (..., wpb) u32 rows.
+
+    The exact inverse of the payload_to_words + parse/_data_words split:
+    header u16s pack big-endian into the row's first header_bytes, the data
+    words follow, funnel-shifted across word boundaries when header_bytes
+    is not 4-byte aligned (mono: 18 bytes).
+    """
+    rem = geo.header_bytes % 4
+    hu = [f.astype(jnp.uint32) for f in hdr_fields]
+    dw = data_words.astype(jnp.uint32)
+    n16 = len(hu)
+    # whole header words: u16 pairs (2i, 2i+1), each byte-swapped
+    hw = jnp.stack(
+        [
+            _swap16(hu[2 * i]) | (_swap16(hu[2 * i + 1]) << 16)
+            for i in range(n16 // 2)
+        ],
+        axis=-1,
+    )
+    if rem == 0:
+        return jnp.concatenate([hw, dw], axis=-1)
+    # rem == 2: the last header u16 shares a word with data bytes 0..1
+    assert rem == 2 and n16 % 2 == 1
+    mid = _swap16(hu[-1]) | ((dw[..., 0] & 0xFFFF) << 16)
+    # data word i spills its high half into the next row word:
+    # rows base+1 .. base+wd: (D_{i-1} >> 16) | (D_i << 16); the final row
+    # (the spare word of words_per_block) is D_{wd-1} >> 16 alone.
+    lo = dw >> 16
+    body = lo[..., :-1] | ((dw[..., 1:] & 0xFFFF) << 16)
+    tail = lo[..., -1:]
+    return jnp.concatenate([hw, mid[..., None], body, tail], axis=-1)
+
+
+def wire_words_to_payload(
+    words: np.ndarray, geo: BlockGeometry, num_samples: int
+) -> np.ndarray:
+    """Host: (B, wpb) u32 rows -> contiguous payload bytes (uint8).
+
+    A free little-endian byte view, a block_size row slice (dropping the
+    alignment padding), and the reference's final-block truncation to whole
+    interleave units (reference: src/aad_encoder.c:661-726 loop bounds).
+    """
+    from ..format.geometry import (
+        encoded_block_bytes,
+        last_block_valid_samples,
+        num_blocks_for,
+    )
+
+    rows = np.ascontiguousarray(words).view(np.uint8)
+    rows = rows.reshape(words.shape[0], -1)[:, : geo.block_size]
+    nblocks = num_blocks_for(num_samples, geo.num_samples_per_block)
+    rows = rows[:nblocks]
+    valid_last = last_block_valid_samples(
+        num_samples, geo.num_samples_per_block
+    )
+    tail_bytes = encoded_block_bytes(geo, valid_last)
+    return np.concatenate(
+        [rows[: nblocks - 1].reshape(-1), rows[nblocks - 1, :tail_bytes]]
+    )

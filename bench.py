@@ -230,45 +230,63 @@ def main() -> None:
 def measure_encode():
     """Secondary metric: batch encode throughput (trials=2, the CLI default).
 
-    Returns samples/s; 0 on failure.
+    Measures the complete device encode pipeline — trial search, code
+    emission, block-header packing and wire-word assembly (the encoder
+    counterpart of the decode metric's fully-fused pipeline); only the
+    host's free byte view is outside the timed region. Returns samples/s;
+    0 on failure.
     """
     try:
         import jax
         import jax.numpy as jnp
 
-        from aad_tpu.codec.encoder import EncodeConfig, resolve_encode_engine
-        from aad_tpu.ops.encode import encode_stream_blocks
+        from aad_tpu.codec.encoder import (
+            EncodeConfig,
+            _encode_device_wire,
+            resolve_encode_engine,
+        )
+
+        from jax import lax
 
         engine = resolve_encode_engine("auto")
         cfg = EncodeConfig(num_channels=NCH, sampling_rate=RATE)
         geo = cfg.geometry()
         nspb = geo.num_samples_per_block
         S, B = 4096, 4
-        rng = np.random.default_rng(0)
         sig = (9000 * np.sin(np.arange(S * B * NCH * nspb) / 17)).astype(np.int32)
         blocks = jnp.asarray(sig.reshape(B, S, NCH, nspb))
         valid = jnp.full(B, nspb, dtype=jnp.int32)
         total = S * B * NCH * nspb
 
-        @jax.jit
-        def step(bl, tok):
-            bl = bl.at[0, 0, 0, 0].set(tok & 1)
-            headers, codes = encode_stream_blocks(
-                bl, valid, cfg.bits_per_sample, cfg.num_encode_trials,
-                engine=engine,
-            )
-            return (codes[0, 0, 0, 0] + headers.step_index[0, 0, 0]).astype(
-                jnp.int32
+        def pipeline(bl):
+            return _encode_device_wire(
+                bl, valid, geo=geo, num_trials=cfg.num_encode_trials,
+                ms=False, engine=engine,
             )
 
-        tok = step(blocks, jnp.int32(0))
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def run(bl, tok, iters):
+            # whole loop in ONE dispatch, chained through the token (the
+            # same methodology as the decode metric: per-dispatch tunnel
+            # cost would otherwise dominate and understate throughput).
+            def body(_, carry):
+                bl, out, tok = carry
+                bl2 = bl.at[0, 0, 0, 0].set(tok & 1)
+                out = pipeline(bl2)
+                return (bl, out, out[0, 0, 0].astype(jnp.int32))
+
+            out0 = pipeline(bl)
+            return lax.fori_loop(
+                0, iters, body, (bl, out0, out0[0, 0, 0].astype(jnp.int32))
+            )
+
+        iters = 8
+        bl, out, tok = run(blocks, jnp.int32(0), iters)
         float(tok)
-        iters = 5
         t0 = time.time()
-        for _ in range(iters):
-            tok = step(blocks, tok)
+        bl, out, tok = run(bl, tok, iters)
         float(tok)
-        dt = (time.time() - t0) / iters
+        dt = (time.time() - t0) / (iters + 1)
         return total / dt
     except Exception:
         return 0

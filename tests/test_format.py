@@ -210,3 +210,54 @@ class TestBitpack:
         codes = np.array([[[0xA, 0x3]]], dtype=np.uint8)
         data = pack_codes(codes, geo)
         assert data[0, 0] == 0xA3
+
+
+def test_wire32_encode_decode_permutations_inverse():
+    """kernel_words_to_wire is the exact inverse of wire_to_kernel_words
+    for every conforming geometry (the encode wire pipeline's core)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aad_tpu.format.geometry import compute_block_geometry
+    from aad_tpu.ops.wire32 import (
+        kernel_words_needed,
+        kernel_words_to_wire,
+        wire_to_kernel_words,
+        words_per_block,
+    )
+
+    rng = np.random.default_rng(11)
+    for nch in (1, 2):
+        for bps in (2, 3, 4):
+            geo = compute_block_geometry(1024, nch, bps)
+            B = 6
+            wk = kernel_words_needed(geo)
+            mask = (1 << (4 * 8)) - 1  # full word; slots limited below
+            # random codes valid for bps: each 4-bit slot < 2**bps
+            slot_max = (1 << bps) - 1
+            kw = np.zeros((B, nch, wk), dtype=np.uint32)
+            for k in range(8):
+                kw |= rng.integers(
+                    0, slot_max + 1, (B, nch, wk), dtype=np.uint32
+                ) << np.uint32(4 * k)
+            dw = kernel_words_to_wire(jnp.asarray(kw), geo)  # (B, Wd)
+            # decode direction wants full wire rows; splice the data words
+            # into zero header rows
+            wpb = words_per_block(geo)
+            base, rem = divmod(geo.header_bytes, 4)
+            rows = np.zeros((B, wpb), dtype=np.uint32)
+            dwn = np.asarray(dw)
+            if rem == 0:
+                rows[:, base : base + dwn.shape[1]] = dwn
+            else:
+                s = 8 * rem
+                rows[:, base] |= (dwn[:, 0] << s) & 0xFFFFFFFF
+                for i in range(1, dwn.shape[1]):
+                    rows[:, base + i] = (
+                        (dwn[:, i - 1] >> (32 - s)) | (dwn[:, i] << s)
+                    ) & 0xFFFFFFFF
+                rows[:, base + dwn.shape[1]] = dwn[:, -1] >> (32 - s)
+            back = wire_to_kernel_words(jnp.asarray(rows), geo)  # (Wk, C*B)
+            back = np.asarray(back).T.reshape(nch, B, -1).swapaxes(0, 1)
+            n = min(wk, back.shape[-1])
+            np.testing.assert_array_equal(back[..., :n], kw[..., :n])
