@@ -29,11 +29,15 @@ def encode_batch(
     streams: Sequence[np.ndarray],
     config: EncodeConfig,
     engine: str = "auto",
+    parallel_blocks: bool = False,
 ) -> list[bytes]:
     """Encode a batch of (C, N_i) PCM streams under one configuration.
 
     Returns complete .aad byte strings in input order; each is byte-exact
-    with encoding that stream alone.
+    with encoding that stream alone (with ``parallel_blocks=True``, with
+    encoding that stream alone in parallel mode — see
+    :class:`aad_tpu.codec.encoder.Encoder`: block-independent encode, every
+    block from a fresh state, blocks joining the lane axes).
     """
     config.validate()
     engine = resolve_encode_engine(engine)
@@ -79,6 +83,7 @@ def encode_batch(
             _encode_device_wire(
                 jnp.asarray(blocks), valid_j, geo=geo,
                 num_trials=config.num_encode_trials, ms=ms, engine=engine,
+                parallel=parallel_blocks,
             )
         )  # (B, S, wpb)
         return [
@@ -87,6 +92,10 @@ def encode_batch(
             for s, n in enumerate(lengths)
         ]
 
+    if parallel_blocks:
+        raise InvalidArgumentError(
+            "parallel_blocks requires a wire32-supported geometry"
+        )
     jb = jnp.asarray(blocks)
     if ms:
         jb = lr_to_ms(jb)

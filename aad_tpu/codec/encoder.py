@@ -106,10 +106,11 @@ def _encode_device(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("geo", "num_trials", "ms", "engine")
+    jax.jit, static_argnames=("geo", "num_trials", "ms", "engine", "parallel")
 )
 def _encode_device_wire(
-    blocks, valid, *, geo: BlockGeometry, num_trials: int, ms: bool, engine: str
+    blocks, valid, *, geo: BlockGeometry, num_trials: int, ms: bool,
+    engine: str, parallel: bool = False,
 ):
     """Whole encode on device: padded PCM -> (B, wpb) u32 wire-word rows.
 
@@ -120,8 +121,12 @@ def _encode_device_wire(
     free little-endian byte view plus the final-block truncation
     (ops.wire32.wire_words_to_payload). Skips the 8x nibble unpack and the
     host-side byte assembly of the int32-codes path entirely.
+
+    ``parallel=True`` selects the block-independent mode
+    (ops.encode.encode_blocks_parallel): the block axis joins the lane
+    axes, so every block of the stream encodes concurrently.
     """
-    from ..ops.encode import encode_stream_words
+    from ..ops.encode import encode_blocks_parallel, encode_stream_words
     from ..ops.wire32 import (
         assemble_wire_words,
         build_header_words,
@@ -130,9 +135,14 @@ def _encode_device_wire(
 
     if ms:
         blocks = lr_to_ms(blocks)
-    headers, kw, _ = encode_stream_words(
-        blocks, valid, geo.bits_per_sample, num_trials, engine=engine
-    )
+    if parallel:
+        headers, kw = encode_blocks_parallel(
+            blocks, valid, geo.bits_per_sample, num_trials, engine=engine
+        )
+    else:
+        headers, kw, _ = encode_stream_words(
+            blocks, valid, geo.bits_per_sample, num_trials, engine=engine
+        )
     hdr_u16 = build_header_words(
         headers.step_index, headers.shift, headers.weight, headers.history, geo
     )
@@ -172,19 +182,39 @@ def _pad_to_blocks(pcm: np.ndarray, geo: BlockGeometry) -> tuple[np.ndarray, np.
 
 @dataclasses.dataclass
 class Encoder:
-    """Reusable encoder bound to one configuration."""
+    """Reusable encoder bound to one configuration.
+
+    ``parallel_blocks=True`` selects the block-independent encode: every
+    block is encoded from a fresh processor state (the reference's
+    first-block semantics, trial search included), which removes the
+    sequential cross-block chain — all blocks of the stream encode
+    concurrently on the TPU's vector lanes. The output is a fully valid
+    stream for any conforming decoder (each block header carries the
+    complete decoder state, reference: src/aad_decoder.c:363-380) and is
+    byte-identical to concatenating independent single-block encodes; the
+    cost is a small quality loss from the predictor's missing cross-block
+    warm start. This mode is the framework's own — the reference encoder
+    has no equivalent.
+    """
 
     config: EncodeConfig
     geometry: BlockGeometry
     engine: str = "auto"
+    parallel_blocks: bool = False
 
     @classmethod
-    def from_config(cls, config: EncodeConfig, engine: str = "auto") -> "Encoder":
+    def from_config(
+        cls,
+        config: EncodeConfig,
+        engine: str = "auto",
+        parallel_blocks: bool = False,
+    ) -> "Encoder":
         config.validate()
         return cls(
             config=config,
             geometry=config.geometry(),
             engine=resolve_encode_engine(engine),
+            parallel_blocks=parallel_blocks,
         )
 
     def encode(self, pcm: np.ndarray) -> bytes:
@@ -214,6 +244,23 @@ class Encoder:
         from ..ops.wire32 import supports_wire32, wire_words_to_payload
 
         if supports_wire32(self.geometry):
+            if self.parallel_blocks:
+                # Pad the block axis to a geometric bucket: blocks ride the
+                # lane axes here, so every distinct count would otherwise
+                # compile its own kernel. Pad blocks carry valid=0 and are
+                # dropped by the payload row slice.
+                from .decoder import _bucket_blocks
+
+                B = blocks.shape[0]
+                Bp = _bucket_blocks(B)
+                if Bp > B:
+                    blocks = np.concatenate(
+                        [blocks, np.zeros((Bp - B, *blocks.shape[1:]),
+                                          dtype=blocks.dtype)]
+                    )
+                    valid = np.concatenate(
+                        [valid, np.zeros(Bp - B, dtype=valid.dtype)]
+                    )
             words = _encode_device_wire(
                 jnp.asarray(blocks),
                 jnp.asarray(valid),
@@ -221,6 +268,7 @@ class Encoder:
                 num_trials=cfg.num_encode_trials,
                 ms=ms,
                 engine=engine,
+                parallel=self.parallel_blocks,
             )
             payload = wire_words_to_payload(
                 np.asarray(words), self.geometry, num_samples
@@ -249,25 +297,36 @@ class Encoder:
         return file_header + payload.tobytes()
 
 
-def encode(pcm: np.ndarray, config: EncodeConfig, engine: str = "auto") -> bytes:
+def encode(
+    pcm: np.ndarray,
+    config: EncodeConfig,
+    engine: str = "auto",
+    parallel_blocks: bool = False,
+) -> bytes:
     """One-shot encode; see :class:`Encoder`.
 
-    ``engine="auto"`` prefers the native engine: a single stream is
-    latency-bound on the TPU's VPU (the encode recurrence is a ~72-cycle
-    serial dependent chain per sample — docs/DESIGN.md §3), where the native
-    C++ engine measures ~11.5 M samples/s vs the C reference's 6.3 M. The
-    TPU pays off through the batch/streaming APIs (codec.batch_encode,
-    parallel.sharded), which amortise the chain across thousands of lanes
-    (~1.8 G samples/s). Pass "scan"/"pallas"/"native" to override.
+    ``engine="auto"`` prefers the native engine: a *sequential* single
+    stream is latency-bound on the TPU's VPU (the encode recurrence is a
+    ~72-cycle serial dependent chain per sample — docs/DESIGN.md §3), where
+    the native C++ engine measures ~11.5 M samples/s vs the C reference's
+    6.3 M. The TPU pays off through the batch/streaming APIs
+    (codec.batch_encode, parallel.sharded) and through
+    ``parallel_blocks=True`` — the block-independent mode, which encodes
+    all blocks of even a single stream concurrently on the TPU (see
+    :class:`Encoder`; the native engine is sequential-only, so auto
+    routes parallel encodes to the TPU engines). Pass
+    "scan"/"pallas"/"native" to override.
     """
     if engine == "native":
         from .. import native
 
         return native.encode(np.asarray(pcm, dtype=np.int32), config)
-    if engine == "auto":
+    if engine == "auto" and not parallel_blocks:
         from .. import native
 
         if native.available():
             config.validate()
             return native.encode(np.asarray(pcm, dtype=np.int32), config)
-    return Encoder.from_config(config, engine=engine).encode(pcm)
+    return Encoder.from_config(
+        config, engine=engine, parallel_blocks=parallel_blocks
+    ).encode(pcm)

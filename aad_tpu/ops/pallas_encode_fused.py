@@ -98,18 +98,26 @@ def supports_fused_encode(num_samples_per_block: int) -> bool:
 def _make_kernel(
     bits_per_sample: int, corrections, num_trials: int, n_words: int,
     n_codes: int, stream_chunk: int | None = None, r: int = 1,
+    warm_on_prev: bool = True,
 ):
     signbit = 1 << (bits_per_sample - 1)
     absmask = signbit - 1
     wshift = FIXEDPOINT_DIGITS + LMSFILTER_SHIFT
     SHAPE = (r * SUBLANES, LANES)
+    # When the trial search never reads the previous block (trials == 0, or
+    # the block-independent mode's statically-dead warm-up) the prev inputs
+    # are dropped from the argument list entirely — a windowed spec's block
+    # is DMAed whether or not the kernel reads it.
+    needs_prev = num_trials > 0 and warm_on_prev
 
-    def kernel(
-        cur_w_ref, prev_w_ref, prev0_w_ref, cur_h_ref, prev_h_ref, valid_ref,
-        idx_ref, h_ref, w_ref, bb_ref,
-        codes_ref, hdr_ref,
-        state, *stream_scratch,
-    ):
+    def kernel(*refs):
+        if needs_prev:
+            (cur_w_ref, prev_w_ref, prev0_w_ref, cur_h_ref, prev_h_ref,
+             valid_ref, idx_ref, h_ref, w_ref, bb_ref,
+             codes_ref, hdr_ref, state, *stream_scratch) = refs
+        else:
+            (cur_w_ref, cur_h_ref, valid_ref, idx_ref, h_ref, w_ref,
+             codes_ref, hdr_ref, state, *stream_scratch) = refs
         b = pl.program_id(1)
         lane_tile = pl.program_id(0)
 
@@ -291,7 +299,35 @@ def _make_kernel(
         valid = valid_ref[0, 0, 0]
         live_cur = lambda gt: gt < valid - FILTER_ORDER
 
-        if num_trials > 0:
+        if num_trials > 0 and not warm_on_prev:
+            # Block-independent mode: every block is a stream head, so the
+            # previous-block warm-up is statically dead — and trial 1's
+            # measure is the *baseline* measure (identical seed + input),
+            # so its end state is reused. trials=N costs N measure passes
+            # here instead of the sequential path's 3N.
+            skip = valid < FILTER_ORDER
+            baseline = seed(st, cur_h_ref, jnp.full(SHAPE, True))
+            measured, min_sse = measure(baseline, cur_w_ref, b, live_cur)
+            walker = tuple(jnp.where(skip, a, m) for a, m in zip(st, measured))
+            best = st
+            for _ in range(num_trials - 1):
+                candidate = walker
+                walker = seed(walker, cur_h_ref, valid >= FILTER_ORDER)
+                walker, sse = measure(walker, cur_w_ref, b, live_cur)
+                walker = tuple(
+                    jnp.where(skip, c, w) for c, w in zip(candidate, walker)
+                )
+                sse = (jnp.where(skip, 0, sse[0]), jnp.where(skip, 0, sse[1]))
+                better = u64_less(sse, min_sse)
+                best = tuple(
+                    jnp.where(better, c, bst) for c, bst in zip(candidate, best)
+                )
+                min_sse = (
+                    jnp.where(better, sse[0], min_sse[0]),
+                    jnp.where(better, sse[1], min_sse[1]),
+                )
+            st = best
+        elif num_trials > 0:
             bb = bb_ref[0]
             has_prev = (b + bb) >= 1
             hp = jnp.full(SHAPE, has_prev)
@@ -387,6 +423,8 @@ def encode_stream_fused(
     carry=None,
     blocks_before=0,
     packed_codes: bool = False,
+    warm_on_prev: bool = True,
+    need_carry: bool = True,
 ):
     """One-execution whole-stream encode. Same contract as
     ops.encode.encode_stream_blocks_carry (lane axes folded internally).
@@ -396,6 +434,12 @@ def encode_stream_fused(
     (B, ..., W8) uint32, 8 LSB-first 4-bit code slots per word (slots past
     codes_per_block hold garbage from the zero-pad sample slots) — feeding
     ops.wire32.kernel_words_to_wire without the 8x nibble-unpack pass.
+
+    ``warm_on_prev=False`` statically removes the trial search's
+    previous-block passes (block-independent parallel mode — see
+    ops.encode.encode_blocks_parallel). ``need_carry=False`` skips the
+    final-chain-state reconstruction (a whole extra pass over the last
+    block row); the carry slot is then ``None``.
     """
     from .encode import BlockHeaderFields
     from .transitions import CodecState
@@ -423,7 +467,7 @@ def encode_stream_fused(
         va = va[..., None]
     va = jnp.broadcast_to(va, (B, *lane_axes)).reshape(B, L)
 
-    headers, codes, (state9,) , _ = _fused_impl(
+    headers, codes, state9 = _fused_impl(
         flat, prev0, va,
         init_state.step_index, init_state.history, init_state.weight,
         jnp.asarray(blocks_before, jnp.int32),
@@ -431,6 +475,8 @@ def encode_stream_fused(
         num_trials=num_trials,
         corrections=corrections,
         packed_codes=packed_codes,
+        warm_on_prev=warm_on_prev,
+        need_carry=need_carry,
     )
 
     def unflat(x):
@@ -442,6 +488,8 @@ def encode_stream_fused(
         weight=unflat(headers[..., 4:8]),
         history=unflat(headers[..., 0:4]),
     )
+    if not need_carry:
+        return hdr, unflat(codes), None
     out_state = CodecState(
         history=state9[:, 0:4].reshape(*lane_axes, 4),
         weight=state9[:, 4:8].reshape(*lane_axes, 4),
@@ -453,12 +501,14 @@ def encode_stream_fused(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "bits_per_sample", "num_trials", "corrections", "packed_codes"
+        "bits_per_sample", "num_trials", "corrections", "packed_codes",
+        "warm_on_prev", "need_carry",
     ),
 )
 def _fused_impl(
     flat, prev0, valid, step_index, history, weight, blocks_before,
     *, bits_per_sample, num_trials, corrections, packed_codes=False,
+    warm_on_prev=True, need_carry=True,
 ):
     B, L, nspb = flat.shape
     T = nspb - FILTER_ORDER
@@ -497,11 +547,9 @@ def _fused_impl(
         xp = jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
         return xp.reshape(b_, n_tiles, RS, LANES, k).transpose(0, 1, 4, 2, 3)
 
+    needs_prev = num_trials > 0 and warm_on_prev
     cur_w = pack_lane_words(flat, FILTER_ORDER)
-    prev0_w = pack_lane_words(prev0[None], FILTER_ORDER)
     cur_h = lane_tiles(flat[..., :FILTER_ORDER], FILTER_ORDER)
-    prev_h0 = lane_tiles(prev0[None, ..., :FILTER_ORDER], FILTER_ORDER)[0]
-    prev_h = jnp.concatenate([prev_h0[None], cur_h[:-1]], axis=0)
     va_t = lane_tiles(valid[..., None], 1)
 
     ii0 = jnp.pad(step_index.astype(jnp.int32), (0, Lp - L))
@@ -514,40 +562,46 @@ def _fused_impl(
     lane5 = lambda i, b: (b, i, 0, 0, 0)
     grid = (n_tiles, B)
     if stream:
-        words_specs = [
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ]
+        word_spec = [pl.BlockSpec(memory_space=pl.ANY)]
         stream_scratch = [
             pltpu.VMEM((2, STREAM_CHUNK, RS, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
-        words_specs = [
+        word_spec = [
             pl.BlockSpec((1, W2, 1, RS, LANES),
                          lambda i, b: (b, 0, i, 0, 0), memory_space=pltpu.VMEM),
-            # the same array again, shifted one block back: the trial
-            # warm-up's input (clamped at 0; block 0 uses prev0 instead)
-            pl.BlockSpec((1, W2, 1, RS, LANES),
-                         lambda i, b: (jnp.maximum(b - 1, 0), 0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W2, 1, RS, LANES),
-                         lambda i, b: (0, 0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
         ]
         stream_scratch = []
-    codes_t, hdr_t = pl.pallas_call(
-        _make_kernel(bits_per_sample, corrections, num_trials, W2, T,
-                     stream_chunk=STREAM_CHUNK if stream else None, r=R),
-        grid=grid,
-        in_specs=words_specs + [
-            pl.BlockSpec((1, 1, FILTER_ORDER, RS, LANES), lane5,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, FILTER_ORDER, RS, LANES), lane5,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, RS, LANES), lane5,
-                         memory_space=pltpu.VMEM),
+    lane_tile_spec = lambda k: pl.BlockSpec(
+        (1, 1, k, RS, LANES), lane5, memory_space=pltpu.VMEM
+    )
+    if needs_prev:
+        prev0_w = pack_lane_words(prev0[None], FILTER_ORDER)
+        prev_h0 = lane_tiles(prev0[None, ..., :FILTER_ORDER], FILTER_ORDER)[0]
+        prev_h = jnp.concatenate([prev_h0[None], cur_h[:-1]], axis=0)
+        if stream:
+            prev_word_specs = [
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ]
+        else:
+            prev_word_specs = [
+                # the same array again, shifted one block back: the trial
+                # warm-up's input (clamped at 0; block 0 uses prev0 instead)
+                pl.BlockSpec((1, W2, 1, RS, LANES),
+                             lambda i, b: (jnp.maximum(b - 1, 0), 0, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, W2, 1, RS, LANES),
+                             lambda i, b: (0, 0, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        inputs = (cur_w, cur_w, prev0_w, cur_h, prev_h, va_t,
+                  ii_t, h_t, w_t, jnp.reshape(blocks_before, (1,)))
+        in_specs = word_spec + prev_word_specs + [
+            lane_tile_spec(FILTER_ORDER),
+            lane_tile_spec(FILTER_ORDER),
+            lane_tile_spec(1),
             pl.BlockSpec((1, 1, RS, LANES),
                          lambda i, b: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, RS, LANES),
@@ -555,7 +609,25 @@ def _fused_impl(
             pl.BlockSpec((1, 4, RS, LANES),
                          lambda i, b: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        ]
+    else:
+        inputs = (cur_w, cur_h, va_t, ii_t, h_t, w_t)
+        in_specs = word_spec + [
+            lane_tile_spec(FILTER_ORDER),
+            lane_tile_spec(1),
+            pl.BlockSpec((1, 1, RS, LANES),
+                         lambda i, b: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, RS, LANES),
+                         lambda i, b: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, RS, LANES),
+                         lambda i, b: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ]
+    codes_t, hdr_t = pl.pallas_call(
+        _make_kernel(bits_per_sample, corrections, num_trials, W2, T,
+                     stream_chunk=STREAM_CHUNK if stream else None, r=R,
+                     warm_on_prev=warm_on_prev),
+        grid=grid,
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, W8, 1, RS, LANES),
                          lambda i, b: (b, 0, i, 0, 0), memory_space=pltpu.VMEM),
@@ -572,8 +644,7 @@ def _fused_impl(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret_mode(),
-    )(cur_w, cur_w, prev0_w, cur_h, prev_h, va_t, ii_t, h_t, w_t,
-      jnp.reshape(blocks_before, (1,)))
+    )(*inputs)
 
     # code words -> lane-major (B, L, W8); unpack to int32 codes only when
     # asked — the wire pipeline consumes the packed words directly.
@@ -586,6 +657,9 @@ def _fused_impl(
 
     # header fields -> (B, L, 10)
     hdrs = hdr_t.transpose(0, 1, 3, 4, 2).reshape(B, Lp, 10)[:, :L]
+
+    if not need_carry:
+        return hdrs, codes, None
 
     # final chain state: history/weights/idx of the LAST block's carry live
     # in the kernel scratch — reconstruct from the last header + codes is
@@ -608,4 +682,4 @@ def _fused_impl(
         emit_codes=False,
     )
     state9 = jnp.concatenate([h_f, w_f, idx_f[:, None]], axis=-1)
-    return hdrs, codes, (state9,), None
+    return hdrs, codes, state9

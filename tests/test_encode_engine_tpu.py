@@ -118,3 +118,52 @@ class TestFusedEncodeKernel:
             np.asarray(h_all.step_index),
             np.concatenate([np.asarray(h1.step_index), np.asarray(h2.step_index)]),
         )
+
+
+@requires_tpu
+class TestParallelEncodeTPU:
+    """Block-independent parallel mode on hardware (warm_on_prev=False
+    kernel specialisation: prev-block inputs dropped, trial-1 reuse)."""
+
+    @pytest.mark.parametrize("bps,trials", [(4, 2), (3, 1), (2, 0)])
+    def test_matches_scan(self, bps, trials):
+        from aad_tpu.ops.encode import encode_blocks_parallel
+        from aad_tpu.ops.wire32 import kernel_words_to_codes
+
+        rng = np.random.default_rng(3)
+        B, C, nspb = 5, 2, 252
+        n = B * C * nspb
+        sig = (9000 * np.sin(np.arange(n) / 17)
+               + rng.integers(-2000, 2000, n)).astype(np.int32)
+        blocks = jnp.asarray(sig.reshape(B, C, nspb))
+        valid = np.full(B, nspb, dtype=np.int32)
+        valid[-1] = nspb - 9
+        jv = jnp.asarray(valid)
+        h_s, w_s = encode_blocks_parallel(blocks, jv, bps, trials,
+                                          engine="scan")
+        h_p, w_p = encode_blocks_parallel(blocks, jv, bps, trials,
+                                          engine="pallas")
+        T = nspb - 4
+        np.testing.assert_array_equal(
+            np.asarray(kernel_words_to_codes(w_s, T)),
+            np.asarray(kernel_words_to_codes(w_p, T)),
+        )
+        for a, b in zip(h_s, h_p):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_full_parallel_encoder_bytes(self):
+        """End-to-end parallel Encoder bytes: hardware Pallas == scan."""
+        from aad_tpu.codec.encoder import EncodeConfig, encode
+
+        cfg = EncodeConfig(num_channels=2, sampling_rate=48000)
+        nspb = cfg.geometry().num_samples_per_block
+        n = 5 * nspb + 133
+        rng = np.random.default_rng(7)
+        t = np.arange(n)
+        pcm = np.clip(
+            8000 * np.sin(t / 9.0)[None, :] + rng.integers(-400, 400, (2, n)),
+            -32768, 32767,
+        ).astype(np.int32)
+        a = encode(pcm, cfg, engine="pallas", parallel_blocks=True)
+        b = encode(pcm, cfg, engine="scan", parallel_blocks=True)
+        assert a == b

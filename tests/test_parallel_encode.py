@@ -1,0 +1,185 @@
+"""Block-independent parallel encode mode.
+
+Every block is encoded from a fresh processor state — the reference's
+first-block semantics, trial search included (the warm-up on the previous
+block only happens from block 1 on, reference: src/aad_encoder.c:503) — so
+the block axis becomes a lane axis and all blocks of one stream encode
+concurrently. The output is a valid stream for any conforming decoder
+(each block header carries the complete decoder state, reference:
+src/aad_decoder.c:363-380); the defining byte-level property pinned here is
+that the parallel stream equals the concatenation of independent
+single-block encodes.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from aad_tpu.codec.batch_encode import encode_batch
+from aad_tpu.codec.decoder import decode
+from aad_tpu.codec.encoder import EncodeConfig, encode
+
+
+def _signal(nch: int, n: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    t = np.arange(n, dtype=np.float64)
+    sig = 7000 * np.sin(t / 7.0)[None, :] + rng.integers(-500, 500, (nch, n))
+    return np.clip(sig, -32768, 32767).astype(np.int32)
+
+
+def _cfg(nch, bps, ms=0, trials=2, block=128):
+    return EncodeConfig(
+        num_channels=nch,
+        sampling_rate=16000,
+        bits_per_sample=bps,
+        max_block_size=block,
+        ch_process_method=ms,
+        num_encode_trials=trials,
+    )
+
+
+GRID = [
+    (1, 4, 0, 2),
+    (2, 4, 1, 2),
+    (1, 3, 0, 1),
+    (2, 3, 0, 2),
+    (1, 2, 0, 0),
+    (2, 2, 1, 1),
+]
+
+
+@pytest.mark.parametrize("nch,bps,ms,trials", GRID)
+def test_parallel_equals_per_block_encodes(nch, bps, ms, trials):
+    """The defining property: parallel stream == concatenated independent
+    single-block encodes, byte for byte (incl. a short final block)."""
+    cfg = _cfg(nch, bps, ms, trials)
+    nspb = cfg.geometry().num_samples_per_block
+    n = nspb * 4 + max(nspb // 3, 5)
+    pcm = _signal(nch, n, seed=bps + nch)
+
+    par = encode(pcm, cfg, engine="scan", parallel_blocks=True)
+
+    parts = []
+    for b in range(5):
+        sl = pcm[:, b * nspb : (b + 1) * nspb]
+        if sl.shape[1] == 0:
+            break
+        parts.append(encode(sl, cfg, engine="scan")[31:])
+    assert par == par[:31] + b"".join(parts)
+
+
+def test_parallel_first_block_equals_sequential():
+    """Block 0 of a parallel stream is byte-identical to the sequential
+    encoder's block 0 (both start from the initial state)."""
+    cfg = _cfg(2, 4)
+    geo = cfg.geometry()
+    pcm = _signal(2, geo.num_samples_per_block * 3, seed=9)
+    par = encode(pcm, cfg, engine="scan", parallel_blocks=True)
+    seq = encode(pcm, cfg, engine="scan")
+    assert par[31 : 31 + geo.block_size] == seq[31 : 31 + geo.block_size]
+
+
+@pytest.mark.parametrize("bps,ceiling", [(4, 5e-2), (3, 6e-2), (2, 8e-2)])
+def test_parallel_roundtrip_quality(bps, ceiling):
+    """Parallel streams stay inside the reference's sine RMSE ceilings
+    (reference: test/test_aad_encode_decode.c:303-340)."""
+    cfg = EncodeConfig(
+        num_channels=2, sampling_rate=44100, bits_per_sample=bps
+    )
+    n = cfg.geometry().num_samples_per_block * 3 + 55
+    t = np.arange(n, dtype=np.float64)
+    wave = (16384 * np.sin(2 * np.pi * 440.0 * t / 44100)).astype(np.int32)
+    pcm = np.stack([wave, wave])
+    blob = encode(pcm, cfg, engine="scan", parallel_blocks=True)
+    header, dec = decode(blob)
+    rmse = np.sqrt(
+        np.mean((np.asarray(dec, np.float64) - pcm) ** 2)
+    ) / 32768.0
+    assert rmse < ceiling
+
+
+@pytest.mark.parametrize("trials", [0, 2])
+def test_parallel_fused_kernel_matches_scan(trials):
+    """encode_blocks_parallel: fused Pallas kernel (interpret on CPU,
+    prev-block inputs statically dropped) == scan engine, field-exact.
+    Covers both the trials=0 and the warm_on_prev=False kernel arg lists."""
+    from aad_tpu.ops.encode import encode_blocks_parallel
+
+    cfg = _cfg(2, 4, trials=trials)
+    nspb = cfg.geometry().num_samples_per_block
+    B, nch = 3, 2
+    pcm = _signal(nch, B * nspb, seed=17)
+    blocks = jnp.asarray(
+        np.moveaxis(pcm.reshape(nch, B, nspb), 1, 0)
+    )
+    valid = jnp.asarray([nspb, nspb, nspb - 29], dtype=jnp.int32)
+
+    h_s, w_s = encode_blocks_parallel(blocks, valid, 4, trials, engine="scan")
+    h_p, w_p = encode_blocks_parallel(
+        blocks, valid, 4, trials, engine="pallas"
+    )
+    from aad_tpu.ops.wire32 import kernel_words_to_codes
+
+    T = nspb - 4
+    np.testing.assert_array_equal(
+        np.asarray(kernel_words_to_codes(w_s, T)),
+        np.asarray(kernel_words_to_codes(w_p, T)),
+    )
+    for a, b in zip(h_s, h_p):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_parallel_full_api_pallas_matches_scan():
+    """End-to-end Encoder bytes agree between the scan and Pallas engines
+    in parallel mode."""
+    cfg = _cfg(1, 3, trials=1)
+    pcm = _signal(1, cfg.geometry().num_samples_per_block * 2 + 11, seed=5)
+    a = encode(pcm, cfg, engine="scan", parallel_blocks=True)
+    b = encode(pcm, cfg, engine="pallas", parallel_blocks=True)
+    assert a == b
+
+
+def test_batch_parallel_matches_solo():
+    """encode_batch(parallel_blocks=True): every stream equals its solo
+    parallel encode, across unequal lengths."""
+    cfg = _cfg(2, 4, ms=1)
+    nspb = cfg.geometry().num_samples_per_block
+    streams = [
+        _signal(2, nspb * 3 + 7, seed=1),
+        _signal(2, nspb + 1, seed=2),
+        _signal(2, nspb * 2, seed=3),
+    ]
+    batch = encode_batch(streams, cfg, engine="scan", parallel_blocks=True)
+    for pcm, blob in zip(streams, batch):
+        assert blob == encode(pcm, cfg, engine="scan", parallel_blocks=True)
+
+
+def test_parallel_block_bucketing_pad_path():
+    """Block counts are padded to a geometric bucket for compile reuse; the
+    pad blocks (valid=0) must not change the payload."""
+    cfg = _cfg(1, 4)
+    nspb = cfg.geometry().num_samples_per_block
+    B = 9  # buckets to 10
+    pcm = _signal(1, B * nspb - 13, seed=23)
+    par = encode(pcm, cfg, engine="scan", parallel_blocks=True)
+    parts = []
+    for b in range(B):
+        sl = pcm[:, b * nspb : (b + 1) * nspb]
+        parts.append(encode(sl, cfg, engine="scan")[31:])
+    assert par == par[:31] + b"".join(parts)
+
+
+def test_parallel_decodes_with_reference_semantics():
+    """A parallel stream decodes identically through the JAX decoder and
+    the native C++ decoder (which mirrors the reference exactly)."""
+    from aad_tpu import native
+
+    if not native.available():  # pragma: no cover
+        pytest.skip("native codec unavailable")
+    cfg = _cfg(2, 4, ms=1)
+    pcm = _signal(2, cfg.geometry().num_samples_per_block * 3 + 77, seed=31)
+    blob = encode(pcm, cfg, engine="scan", parallel_blocks=True)
+    _, dec_jax = decode(blob)
+    _, dec_nat = native.decode(blob)
+    np.testing.assert_array_equal(np.asarray(dec_jax), np.asarray(dec_nat))
