@@ -13,6 +13,10 @@ therefore pure data/sequence parallelism:
 * **encode**: streams shard over "dp"; each device scans its streams'
   blocks sequentially. The only cross-device op is an optional ``psum``
   for global quality statistics.
+* **sequence-parallel encode**: in the block-independent mode
+  (ops.encode.encode_blocks_parallel) even ONE stream's block axis shards
+  over the whole mesh — impossible for the bit-exact sequential encoder,
+  whose state chains across blocks.
 
 Tensor/pipeline/expert parallelism have no profitable mapping for a 4-tap
 codec (SURVEY.md §2.3 table) — the mesh is used purely for throughput
@@ -126,6 +130,60 @@ def decode_blocks_sharded(
 
     out = jax.jit(_local)(codes, step_index, weight, history)
     return out[:L]
+
+
+def encode_blocks_parallel_sharded(
+    blocks: Array,
+    valid: Array,
+    *,
+    bits_per_sample: int,
+    num_trials: int,
+    mesh: Mesh,
+    engine: str = "scan",
+):
+    """Sequence-parallel encode of ONE stream over the whole mesh.
+
+    Block-independent mode (ops.encode.encode_blocks_parallel): every block
+    encodes from a fresh state, so the **block axis itself** shards over
+    (dp x sp) with zero hot-path collectives — the encode-side counterpart
+    of decode_blocks_sharded, and a sharding the bit-exact sequential
+    encoder cannot admit (its state chains across blocks, reference:
+    src/aad_encoder.c:870).
+
+    Args:
+      blocks: (B, C, nspb) int32 zero-padded (MS already applied).
+      valid:  (B,) int32 valid sample counts.
+    Returns:
+      (headers, kernel words (B, C, Wk)) — identical to the unsharded
+      encode_blocks_parallel output (pinned by tests/test_sharding.py).
+    """
+    from ..ops.encode import BlockHeaderFields, encode_blocks_parallel
+
+    total = mesh.size
+    spec = P(("dp", "sp"))
+    blocks, B = _pad_axis0(blocks, total)
+    valid, _ = _pad_axis0(valid, total)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(
+            BlockHeaderFields(
+                step_index=spec, shift=spec, weight=spec, history=spec
+            ),
+            spec,
+        ),
+        check_vma=False,
+    )
+    def _local(bl, va):
+        return encode_blocks_parallel(
+            bl, va, bits_per_sample, num_trials, engine=engine
+        )
+
+    headers, words = jax.jit(_local)(blocks, valid)
+    trim = lambda x: x[:B]
+    return jax.tree.map(trim, headers), words[:B]
 
 
 def encode_streams_sharded(

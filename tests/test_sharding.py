@@ -159,3 +159,50 @@ def test_graft_entry_and_dryrun():
     assert out.shape[-1] == args[0].shape[-1] + 4
     if len(jax.devices()) >= 8:
         g.dryrun_multichip(8)
+
+
+class TestSequenceParallelEncode:
+    """Block-independent encode with the block axis sharded over the mesh
+    (parallel/sharded.py::encode_blocks_parallel_sharded)."""
+
+    @pytest.mark.parametrize("shape", [(4, 2), (2, 4), (8, 1), (1, 8)])
+    def test_matches_unsharded_all_shapes(self, shape):
+        from aad_tpu.ops.encode import encode_blocks_parallel
+        from aad_tpu.parallel.sharded import encode_blocks_parallel_sharded
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh(8, shape=shape)
+        rng = np.random.default_rng(11)
+        B, C, nspb = 13, 2, 60  # deliberately not a multiple of mesh size
+        blocks = jnp.asarray(
+            rng.integers(-20000, 20000, (B, C, nspb)).astype(np.int32)
+        )
+        valid = np.full(B, nspb, dtype=np.int32)
+        valid[-1] = nspb - 7
+        jv = jnp.asarray(valid)
+
+        h_s, w_s = encode_blocks_parallel_sharded(
+            blocks, jv, bits_per_sample=4, num_trials=2, mesh=mesh
+        )
+        h_u, w_u = encode_blocks_parallel(blocks, jv, 4, 2, engine="scan")
+        np.testing.assert_array_equal(np.asarray(w_s), np.asarray(w_u))
+        for a, b in zip(h_s, h_u):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_output_sharding(self):
+        from aad_tpu.parallel.sharded import encode_blocks_parallel_sharded
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(12)
+        B, C, nspb = 16, 2, 60
+        blocks = jnp.asarray(
+            rng.integers(-20000, 20000, (B, C, nspb)).astype(np.int32)
+        )
+        valid = jnp.full(B, nspb, dtype=jnp.int32)
+        _, words = encode_blocks_parallel_sharded(
+            blocks, valid, bits_per_sample=4, num_trials=0, mesh=mesh
+        )
+        assert len(words.sharding.device_set) == 8
