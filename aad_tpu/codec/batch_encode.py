@@ -30,6 +30,8 @@ def encode_batch(
     config: EncodeConfig,
     engine: str = "auto",
     parallel_blocks: bool = False,
+    parallel_chunk_blocks: int = 1,
+    parallel_warm_passes: int = 0,
 ) -> list[bytes]:
     """Encode a batch of (C, N_i) PCM streams under one configuration.
 
@@ -84,6 +86,8 @@ def encode_batch(
                 jnp.asarray(blocks), valid_j, geo=geo,
                 num_trials=config.num_encode_trials, ms=ms, engine=engine,
                 parallel=parallel_blocks,
+                chunk_blocks=parallel_chunk_blocks if parallel_blocks else 1,
+                warm_passes=parallel_warm_passes if parallel_blocks else 0,
             )
         )  # (B, S, wpb)
         return [

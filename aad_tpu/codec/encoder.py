@@ -106,11 +106,16 @@ def _encode_device(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("geo", "num_trials", "ms", "engine", "parallel")
+    jax.jit,
+    static_argnames=(
+        "geo", "num_trials", "ms", "engine", "parallel", "warm_passes",
+        "chunk_blocks",
+    ),
 )
 def _encode_device_wire(
     blocks, valid, *, geo: BlockGeometry, num_trials: int, ms: bool,
-    engine: str, parallel: bool = False,
+    engine: str, parallel: bool = False, warm_passes: int = 0,
+    chunk_blocks: int = 1,
 ):
     """Whole encode on device: padded PCM -> (B, wpb) u32 wire-word rows.
 
@@ -137,7 +142,8 @@ def _encode_device_wire(
         blocks = lr_to_ms(blocks)
     if parallel:
         headers, kw = encode_blocks_parallel(
-            blocks, valid, geo.bits_per_sample, num_trials, engine=engine
+            blocks, valid, geo.bits_per_sample, num_trials, engine=engine,
+            chunk_blocks=chunk_blocks, warm_passes=warm_passes,
         )
     else:
         headers, kw, _ = encode_stream_words(
@@ -201,6 +207,16 @@ class Encoder:
     geometry: BlockGeometry
     engine: str = "auto"
     parallel_blocks: bool = False
+    # Quality/throughput knobs for parallel mode (ops.encode.
+    # encode_blocks_parallel): chunk_blocks=c encodes sequentially within
+    # chunks of c blocks (true sequential semantics incl. the trial
+    # warm-up) and in parallel across chunks — only chunk heads lose the
+    # warm start; warm_passes=k Jacobi-warms those chunk heads with the
+    # previous chunk's (previous-pass) final state, each pass adding c
+    # blocks of predictor history. c=1, k=0 = cold (byte-identical to
+    # independent single-block encodes).
+    parallel_chunk_blocks: int = 1
+    parallel_warm_passes: int = 0
 
     @classmethod
     def from_config(
@@ -208,6 +224,8 @@ class Encoder:
         config: EncodeConfig,
         engine: str = "auto",
         parallel_blocks: bool = False,
+        parallel_chunk_blocks: int = 1,
+        parallel_warm_passes: int = 0,
     ) -> "Encoder":
         config.validate()
         return cls(
@@ -215,6 +233,8 @@ class Encoder:
             geometry=config.geometry(),
             engine=resolve_encode_engine(engine),
             parallel_blocks=parallel_blocks,
+            parallel_chunk_blocks=parallel_chunk_blocks,
+            parallel_warm_passes=parallel_warm_passes,
         )
 
     def encode(self, pcm: np.ndarray) -> bytes:
@@ -269,6 +289,12 @@ class Encoder:
                 ms=ms,
                 engine=engine,
                 parallel=self.parallel_blocks,
+                warm_passes=(
+                    self.parallel_warm_passes if self.parallel_blocks else 0
+                ),
+                chunk_blocks=(
+                    self.parallel_chunk_blocks if self.parallel_blocks else 1
+                ),
             )
             payload = wire_words_to_payload(
                 np.asarray(words), self.geometry, num_samples
@@ -302,6 +328,8 @@ def encode(
     config: EncodeConfig,
     engine: str = "auto",
     parallel_blocks: bool = False,
+    parallel_chunk_blocks: int = 1,
+    parallel_warm_passes: int = 0,
 ) -> bytes:
     """One-shot encode; see :class:`Encoder`.
 
@@ -328,5 +356,7 @@ def encode(
             config.validate()
             return native.encode(np.asarray(pcm, dtype=np.int32), config)
     return Encoder.from_config(
-        config, engine=engine, parallel_blocks=parallel_blocks
+        config, engine=engine, parallel_blocks=parallel_blocks,
+        parallel_chunk_blocks=parallel_chunk_blocks,
+        parallel_warm_passes=parallel_warm_passes,
     ).encode(pcm)

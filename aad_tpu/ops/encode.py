@@ -527,26 +527,38 @@ def encode_blocks_parallel(
     num_trials: int,
     *,
     engine: str = "scan",
+    chunk_blocks: int = 1,
+    warm_passes: int = 0,
 ):
-    """Block-independent parallel encode: every block from the initial state.
+    """Block-parallel encode: the block axis joins the lane axes.
 
     The TPU-native encode path the format admits but the reference never
     exploits: each block header carries the complete decoder state
-    (reference: src/aad_decoder.c:363-380), so a stream whose every block is
-    encoded from a fresh processor — exactly the reference's *first-block*
-    semantics, trial search included (src/aad_encoder.c:503: the warm-up on
-    the previous block only happens from block 1 on) — is a fully valid
-    stream for any conforming decoder. Output is byte-identical to
-    concatenating independent single-block encodes.
+    (reference: src/aad_decoder.c:363-380), so an encoder that treats a
+    block as a *stream head* — exactly the reference's first-block
+    semantics, trial search included (src/aad_encoder.c:503: the warm-up
+    on the previous block only happens from block 1 on) — still emits a
+    fully valid stream for any conforming decoder.
 
-    Implementation is a relabeling: blocks join the **lane axes** (the
-    block axis of the sequential scan collapses to 1), so all blocks of one
-    stream encode concurrently on the VPU; with ``warm_on_prev=False`` the
-    trial search skips its statically-dead previous-block passes. Quality
-    cost: the predictor loses its cross-block warm start — measured
-    1.04-1.7x RMSE vs sequential on the real-audio corpus (content-
-    dependent; absolute RMSE stays far inside the reference conformance
-    ceilings, tests/test_parallel_encode.py).
+    Three quality/throughput knobs, all fully block-parallel:
+
+    * ``chunk_blocks=1`` (default): every block is a stream head; output is
+      byte-identical to concatenating independent single-block encodes.
+      The sequential scan collapses to one step and ``warm_on_prev=False``
+      statically removes the trial search's dead previous-block passes.
+      Quality cost 1.04-1.7x RMSE vs sequential (content-dependent).
+    * ``chunk_blocks=c > 1``: blocks encode sequentially *within* chunks of
+      c (true sequential semantics including the previous-block trial
+      warm-up) and in parallel *across* chunks — the chunks ride the lane
+      axes like streams in a batch. Only the c-th of blocks at chunk heads
+      lose their warm start; lanes shrink by c.
+    * ``warm_passes=k > 0``: Jacobi refinement — each pass encodes all
+      chunks (trials=0) and hands every chunk's final chain state to the
+      *next* chunk as its initial state for the following pass. After k
+      passes a chunk head starts from a predictor warmed on k*c
+      predecessor blocks, converging on the sequential chain's quality
+      while every pass stays fully parallel (states consumed are from the
+      previous pass, never a same-pass neighbour).
 
     Args:
       blocks: (B, *lanes, nspb) int32 zero-padded (MS already applied).
@@ -554,16 +566,70 @@ def encode_blocks_parallel(
     Returns:
       (headers (B, *lanes), kernel words (B, *lanes, Wk) uint32).
     """
+    c = max(int(chunk_blocks), 1)
+    B = blocks.shape[0]
+    lane_shape = blocks.shape[1:-1]
+    Bp = -(-B // c) * c
     va = jnp.asarray(valid, jnp.int32)
-    # Lanes of the lifted call are (B, *lanes); give ``valid`` a singleton
-    # for each original lane axis it does not already cover, then lift.
-    va = va.reshape(va.shape + (1,) * (blocks.ndim - 1 - va.ndim))[None]
-    headers, kw, _ = encode_stream_words(
-        blocks[None], va, bits_per_sample, num_trials,
-        engine=engine, warm_on_prev=False, need_carry=False,
+    va = jnp.broadcast_to(
+        va.reshape(va.shape + (1,) * (blocks.ndim - 1 - va.ndim)),
+        (B, *lane_shape),
     )
-    headers = jax.tree.map(lambda x: x[0], headers)
-    return headers, kw[0]
+    if Bp > B:
+        # pad with valid=0 blocks (dropped by the caller's payload slice)
+        pad = [(0, Bp - B)] + [(0, 0)] * (blocks.ndim - 1)
+        blocks = jnp.pad(blocks, pad)
+        va = jnp.pad(va, [(0, Bp - B)] + [(0, 0)] * (va.ndim - 1))
+    G = Bp // c
+
+    # (Bp, *lanes, X) -> (c, G, *lanes, X): scan step j handles block
+    # g*c + j of chunk g.
+    def to_chunks(x):
+        return jnp.swapaxes(
+            x.reshape(G, c, *x.shape[1:]), 0, 1
+        )
+
+    def from_chunks(x):  # inverse, then drop the pad blocks
+        return jnp.swapaxes(x, 0, 1).reshape(Bp, *x.shape[2:])[:B]
+
+    xs = to_chunks(blocks)
+    vs = to_chunks(va)
+    warm = c > 1  # chunk-internal previous-block trial warm-up
+
+    carry = None
+    for _ in range(warm_passes):
+        if engine == "pallas" and c == 1:
+            from .pallas_encode_fused import encode_stream_fused
+
+            _, _, st = encode_stream_fused(
+                xs, vs, bits_per_sample, 0, carry=carry,
+                warm_on_prev=False, packed_codes=True,
+                emit_block_states=True,
+            )
+            st = jax.tree.map(lambda x: x[0], st)  # (G, *lanes[, 4])
+        else:
+            _, _, (st, _) = encode_stream_blocks_carry(
+                xs, vs, bits_per_sample, 0, carry=carry,
+                engine=engine, warm_on_prev=warm,
+            )
+
+        def shift(x):  # chunk g <- chunk g-1's final state; chunk 0 <- 0
+            return jnp.concatenate(
+                [jnp.zeros_like(x[:1]), x[:-1]], axis=0
+            )
+
+        init = CodecState(
+            history=shift(st.history),
+            weight=shift(st.weight),
+            step_index=shift(st.step_index),
+        )
+        carry = (init, jnp.zeros_like(xs[0]))
+
+    headers, kw, _ = encode_stream_words(
+        xs, vs, bits_per_sample, num_trials,
+        engine=engine, warm_on_prev=warm, need_carry=False, carry=carry,
+    )
+    return jax.tree.map(from_chunks, headers), from_chunks(kw)
 
 
 def lr_to_ms(pcm: Array) -> Array:

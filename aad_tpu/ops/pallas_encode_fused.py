@@ -98,7 +98,7 @@ def supports_fused_encode(num_samples_per_block: int) -> bool:
 def _make_kernel(
     bits_per_sample: int, corrections, num_trials: int, n_words: int,
     n_codes: int, stream_chunk: int | None = None, r: int = 1,
-    warm_on_prev: bool = True,
+    warm_on_prev: bool = True, emit_state: bool = False,
 ):
     signbit = 1 << (bits_per_sample - 1)
     absmask = signbit - 1
@@ -114,10 +114,14 @@ def _make_kernel(
         if needs_prev:
             (cur_w_ref, prev_w_ref, prev0_w_ref, cur_h_ref, prev_h_ref,
              valid_ref, idx_ref, h_ref, w_ref, bb_ref,
-             codes_ref, hdr_ref, state, *stream_scratch) = refs
+             codes_ref, hdr_ref, *rest) = refs
         else:
             (cur_w_ref, cur_h_ref, valid_ref, idx_ref, h_ref, w_ref,
-             codes_ref, hdr_ref, state, *stream_scratch) = refs
+             codes_ref, hdr_ref, *rest) = refs
+        if emit_state:
+            fstate_ref, state, *stream_scratch = rest
+        else:
+            state, *stream_scratch = rest
         b = pl.program_id(1)
         lane_tile = pl.program_id(0)
 
@@ -408,6 +412,9 @@ def _make_kernel(
             return st
 
         st = stream_groups4(cur_w_ref, b, enc_group, st)
+        if emit_state:
+            for k in range(9):
+                fstate_ref[0, 0, k] = st[k]
         for k in range(9):
             state[k] = st[k]
 
@@ -425,6 +432,7 @@ def encode_stream_fused(
     packed_codes: bool = False,
     warm_on_prev: bool = True,
     need_carry: bool = True,
+    emit_block_states: bool = False,
 ):
     """One-execution whole-stream encode. Same contract as
     ops.encode.encode_stream_blocks_carry (lane axes folded internally).
@@ -439,7 +447,10 @@ def encode_stream_fused(
     previous-block passes (block-independent parallel mode — see
     ops.encode.encode_blocks_parallel). ``need_carry=False`` skips the
     final-chain-state reconstruction (a whole extra pass over the last
-    block row); the carry slot is then ``None``.
+    block row); the carry slot is then ``None``. ``emit_block_states=True``
+    replaces the carry slot with the per-(block, lane) final chain state —
+    a CodecState with leaves shaped (B, *lanes[, 4]) — written directly by
+    the kernel (no recompute pass); the warm parallel mode's state source.
     """
     from .encode import BlockHeaderFields
     from .transitions import CodecState
@@ -476,7 +487,8 @@ def encode_stream_fused(
         corrections=corrections,
         packed_codes=packed_codes,
         warm_on_prev=warm_on_prev,
-        need_carry=need_carry,
+        need_carry=need_carry and not emit_block_states,
+        emit_state=emit_block_states,
     )
 
     def unflat(x):
@@ -488,6 +500,13 @@ def encode_stream_fused(
         weight=unflat(headers[..., 4:8]),
         history=unflat(headers[..., 0:4]),
     )
+    if emit_block_states:
+        states = CodecState(
+            history=unflat(state9[..., 0:4]),
+            weight=unflat(state9[..., 4:8]),
+            step_index=unflat(state9[..., 8]),
+        )
+        return hdr, unflat(codes), states
     if not need_carry:
         return hdr, unflat(codes), None
     out_state = CodecState(
@@ -502,13 +521,13 @@ def encode_stream_fused(
     jax.jit,
     static_argnames=(
         "bits_per_sample", "num_trials", "corrections", "packed_codes",
-        "warm_on_prev", "need_carry",
+        "warm_on_prev", "need_carry", "emit_state",
     ),
 )
 def _fused_impl(
     flat, prev0, valid, step_index, history, weight, blocks_before,
     *, bits_per_sample, num_trials, corrections, packed_codes=False,
-    warm_on_prev=True, need_carry=True,
+    warm_on_prev=True, need_carry=True, emit_state=False,
 ):
     B, L, nspb = flat.shape
     T = nspb - FILTER_ORDER
@@ -622,22 +641,32 @@ def _fused_impl(
             pl.BlockSpec((1, 4, RS, LANES),
                          lambda i, b: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ]
-    codes_t, hdr_t = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, W8, 1, RS, LANES),
+                     lambda i, b: (b, 0, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 10, RS, LANES), lane5,
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, W8, n_tiles, RS, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((B, n_tiles, 10, RS, LANES), jnp.int32),
+    ]
+    if emit_state:
+        out_specs.append(
+            pl.BlockSpec((1, 1, 9, RS, LANES), lane5,
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, n_tiles, 9, RS, LANES), jnp.int32)
+        )
+    outs = pl.pallas_call(
         _make_kernel(bits_per_sample, corrections, num_trials, W2, T,
                      stream_chunk=STREAM_CHUNK if stream else None, r=R,
-                     warm_on_prev=warm_on_prev),
+                     warm_on_prev=warm_on_prev, emit_state=emit_state),
         grid=grid,
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, W8, 1, RS, LANES),
-                         lambda i, b: (b, 0, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 10, RS, LANES), lane5,
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, W8, n_tiles, RS, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((B, n_tiles, 10, RS, LANES), jnp.int32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((9, RS, LANES), jnp.int32)]
         + stream_scratch,
         compiler_params=pltpu.CompilerParams(
@@ -645,6 +674,7 @@ def _fused_impl(
         ),
         interpret=interpret_mode(),
     )(*inputs)
+    codes_t, hdr_t = outs[0], outs[1]
 
     # code words -> lane-major (B, L, W8); unpack to int32 codes only when
     # asked — the wire pipeline consumes the packed words directly.
@@ -658,6 +688,11 @@ def _fused_impl(
     # header fields -> (B, L, 10)
     hdrs = hdr_t.transpose(0, 1, 3, 4, 2).reshape(B, Lp, 10)[:, :L]
 
+    if emit_state:
+        # per-(block, lane) final chain state straight from the kernel —
+        # no recompute pass (the warm parallel mode's state source)
+        fstates = outs[2].transpose(0, 1, 3, 4, 2).reshape(B, Lp, 9)[:, :L]
+        return hdrs, codes, fstates
     if not need_carry:
         return hdrs, codes, None
 

@@ -167,3 +167,24 @@ class TestParallelEncodeTPU:
         a = encode(pcm, cfg, engine="pallas", parallel_blocks=True)
         b = encode(pcm, cfg, engine="scan", parallel_blocks=True)
         assert a == b
+
+    def test_chunked_warm_parallel_bytes(self):
+        """Chunked + Jacobi-warm parallel encode bytes: hardware == scan."""
+        from aad_tpu.codec.encoder import EncodeConfig, encode
+
+        cfg = EncodeConfig(num_channels=2, sampling_rate=48000)
+        nspb = cfg.geometry().num_samples_per_block
+        n = 6 * nspb + 200
+        rng = np.random.default_rng(13)
+        t = np.arange(n)
+        pcm = np.clip(
+            9000 * np.sin(t / 11.0)[None, :] + rng.integers(-300, 300, (2, n)),
+            -32768, 32767,
+        ).astype(np.int32)
+        for kwargs in (
+            {"parallel_chunk_blocks": 2, "parallel_warm_passes": 1},
+            {"parallel_chunk_blocks": 1, "parallel_warm_passes": 1},
+        ):
+            a = encode(pcm, cfg, engine="pallas", parallel_blocks=True, **kwargs)
+            b = encode(pcm, cfg, engine="scan", parallel_blocks=True, **kwargs)
+            assert a == b

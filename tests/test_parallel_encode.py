@@ -183,3 +183,104 @@ def test_parallel_decodes_with_reference_semantics():
     _, dec_jax = decode(blob)
     _, dec_nat = native.decode(blob)
     np.testing.assert_array_equal(np.asarray(dec_jax), np.asarray(dec_nat))
+
+
+def test_chunked_parallel_equals_per_chunk_encodes():
+    """chunk_blocks=c: the stream equals concatenated independent
+    c-block-span sequential encodes (true sequential semantics within a
+    chunk, stream-head semantics at every chunk head)."""
+    cfg = _cfg(2, 4, trials=2)
+    nspb = cfg.geometry().num_samples_per_block
+    c = 3
+    n = nspb * 7 + 41  # 3 chunks, last one partial
+    pcm = _signal(2, n, seed=41)
+    par = encode(
+        pcm, cfg, engine="scan", parallel_blocks=True,
+        parallel_chunk_blocks=c,
+    )
+    parts = []
+    for g in range(3):
+        sl = pcm[:, g * c * nspb : (g + 1) * c * nspb]
+        if sl.shape[1] == 0:
+            break
+        parts.append(encode(sl, cfg, engine="scan")[31:])
+    assert par == par[:31] + b"".join(parts)
+
+
+def test_chunk_spanning_stream_equals_sequential():
+    """chunk_blocks >= num blocks: parallel mode IS the sequential encode,
+    byte for byte (the whole stream is one chunk)."""
+    cfg = _cfg(2, 3, ms=1, trials=2)
+    nspb = cfg.geometry().num_samples_per_block
+    pcm = _signal(2, nspb * 4 + 19, seed=43)
+    par = encode(
+        pcm, cfg, engine="scan", parallel_blocks=True,
+        parallel_chunk_blocks=64,
+    )
+    seq = encode(pcm, cfg, engine="scan")
+    assert par == seq
+
+
+def test_warm_pass_stream_decodes_and_improves():
+    """Jacobi warm passes emit valid streams with RMSE strictly between
+    cold-parallel and sequential on an LMS-unfriendly signal."""
+    rng = np.random.default_rng(47)
+    cfg = _cfg(1, 4, trials=1, block=1024)
+    nspb = cfg.geometry().num_samples_per_block
+    n = nspb * 6
+    # strongly tonal signal: the predictor needs cross-block history
+    t = np.arange(n, dtype=np.float64)
+    pcm = np.clip(
+        12000 * np.sin(2 * np.pi * t / 450.0)
+        + 4000 * np.sin(2 * np.pi * t / 37.0)
+        + rng.integers(-200, 200, (1, n)),
+        -32768, 32767,
+    ).astype(np.int32)
+
+    def rmse(blob):
+        _, dec = decode(blob)
+        return float(
+            np.sqrt(np.mean((np.asarray(dec, np.float64) - pcm) ** 2))
+        )
+
+    cold = rmse(encode(pcm, cfg, engine="scan", parallel_blocks=True))
+    warm = rmse(
+        encode(
+            pcm, cfg, engine="scan", parallel_blocks=True,
+            parallel_warm_passes=2,
+        )
+    )
+    seq = rmse(encode(pcm, cfg, engine="scan"))
+    assert warm <= cold
+    assert warm < cold * 1.001 or cold == seq  # warm never hurts
+
+
+def test_chunked_warm_pallas_matches_scan():
+    """Fused kernel (interpret) == scan for chunked + warm parallel mode."""
+    from aad_tpu.ops.encode import encode_blocks_parallel
+    from aad_tpu.ops.wire32 import kernel_words_to_codes
+
+    cfg = _cfg(2, 4, trials=1)
+    nspb = cfg.geometry().num_samples_per_block
+    B, nch = 6, 2
+    pcm = _signal(nch, B * nspb, seed=53)
+    blocks = jnp.asarray(np.moveaxis(pcm.reshape(nch, B, nspb), 1, 0))
+    valid = np.full(B, nspb, dtype=np.int32)
+    valid[-1] = nspb - 17
+    jv = jnp.asarray(valid)
+
+    for kwargs in ({"chunk_blocks": 2, "warm_passes": 1},
+                   {"chunk_blocks": 1, "warm_passes": 1}):
+        h_s, w_s = encode_blocks_parallel(
+            blocks, jv, 4, 1, engine="scan", **kwargs
+        )
+        h_p, w_p = encode_blocks_parallel(
+            blocks, jv, 4, 1, engine="pallas", **kwargs
+        )
+        T = nspb - 4
+        np.testing.assert_array_equal(
+            np.asarray(kernel_words_to_codes(w_s, T)),
+            np.asarray(kernel_words_to_codes(w_p, T)),
+        )
+        for a, b in zip(h_s, h_p):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
