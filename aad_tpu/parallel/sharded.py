@@ -140,6 +140,8 @@ def encode_blocks_parallel_sharded(
     num_trials: int,
     mesh: Mesh,
     engine: str = "scan",
+    chunk_blocks: int = 1,
+    warm_passes: int = 0,
 ):
     """Sequence-parallel encode of ONE stream over the whole mesh.
 
@@ -150,6 +152,14 @@ def encode_blocks_parallel_sharded(
     encoder cannot admit (its state chains across blocks, reference:
     src/aad_encoder.c:870).
 
+    The quality knobs compose with the mesh: ``chunk_blocks``/
+    ``warm_passes`` (see ops.encode.encode_blocks_parallel) apply *within
+    each shard* — the block axis is padded to a multiple of
+    ``mesh.size * chunk_blocks`` so shard boundaries always fall on chunk
+    boundaries, keeping wp=0 output identical to the unsharded call; warm
+    state does not cross shards (the hot path stays collective-free), so
+    each shard's first chunk is a stream head.
+
     Args:
       blocks: (B, C, nspb) int32 zero-padded (MS already applied).
       valid:  (B,) int32 valid sample counts.
@@ -159,7 +169,7 @@ def encode_blocks_parallel_sharded(
     """
     from ..ops.encode import BlockHeaderFields, encode_blocks_parallel
 
-    total = mesh.size
+    total = mesh.size * max(int(chunk_blocks), 1)
     spec = P(("dp", "sp"))
     blocks, B = _pad_axis0(blocks, total)
     valid, _ = _pad_axis0(valid, total)
@@ -178,7 +188,8 @@ def encode_blocks_parallel_sharded(
     )
     def _local(bl, va):
         return encode_blocks_parallel(
-            bl, va, bits_per_sample, num_trials, engine=engine
+            bl, va, bits_per_sample, num_trials, engine=engine,
+            chunk_blocks=chunk_blocks, warm_passes=warm_passes,
         )
 
     headers, words = jax.jit(_local)(blocks, valid)

@@ -323,7 +323,7 @@ def measure_encode_parallel():
         cfg = EncodeConfig(num_channels=NCH, sampling_rate=RATE)
         geo = cfg.geometry()
         nspb = geo.num_samples_per_block
-        B = 4096
+        B = 16384  # one ~340 s stereo stream; smaller B is glue-dominated
         sig = (9000 * np.sin(np.arange(B * NCH * nspb) / 17)).astype(np.int32)
         blocks = jnp.asarray(sig.reshape(B, NCH, nspb))
         valid = jnp.full(B, nspb, dtype=jnp.int32)

@@ -206,3 +206,31 @@ class TestSequenceParallelEncode:
             blocks, valid, bits_per_sample=4, num_trials=0, mesh=mesh
         )
         assert len(words.sharding.device_set) == 8
+
+    def test_chunked_matches_unsharded(self):
+        """chunk_blocks composes with the mesh: shard boundaries land on
+        chunk boundaries, so wp=0 output equals the unsharded call."""
+        from aad_tpu.ops.encode import encode_blocks_parallel
+        from aad_tpu.parallel.sharded import encode_blocks_parallel_sharded
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(13)
+        B, C, nspb = 21, 2, 60  # pads to 8*2=16-multiple -> 32
+        blocks = jnp.asarray(
+            rng.integers(-20000, 20000, (B, C, nspb)).astype(np.int32)
+        )
+        valid = np.full(B, nspb, dtype=np.int32)
+        valid[-1] = nspb - 11
+        jv = jnp.asarray(valid)
+        h_s, w_s = encode_blocks_parallel_sharded(
+            blocks, jv, bits_per_sample=4, num_trials=1, mesh=mesh,
+            chunk_blocks=2,
+        )
+        h_u, w_u = encode_blocks_parallel(
+            blocks, jv, 4, 1, engine="scan", chunk_blocks=2
+        )
+        np.testing.assert_array_equal(np.asarray(w_s), np.asarray(w_u))
+        for a, b in zip(h_s, h_u):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
