@@ -180,3 +180,78 @@ class TestTruncationRobustness:
         data = self._stream() + b"\xff" * 64
         h, pcm = native.decode(data)
         assert pcm.shape == (2, 3000)
+
+
+class TestGeometryFuzz:
+    """Differential fuzz over random geometries (odd block sizes included).
+
+    The reference grids only exercise {128, 256, 1024, 4096}-byte blocks;
+    random max_block_size values stress the LCM interleave-unit geometry
+    math (reference: src/aad_encoder.c:85-131) through every layer: scan
+    encoder == native encoder byte-exact, and both decoders round-trip.
+    """
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_random_geometry_differential(self, seed):
+        from aad_tpu.codec.decoder import decode
+        from aad_tpu.codec.encoder import EncodeConfig, encode
+
+        rng = np.random.default_rng(1000 + seed)
+        nch = int(rng.integers(1, 3))
+        bps = int(rng.integers(2, 5))
+        # min block size must fit header + one interleave unit
+        mbs = int(rng.integers(40 * nch, 700))
+        cfg = EncodeConfig(
+            num_channels=nch,
+            sampling_rate=8000,
+            bits_per_sample=bps,
+            max_block_size=mbs,
+            ch_process_method=int(rng.integers(0, 2)) if nch == 2 else 0,
+            num_encode_trials=int(rng.integers(0, 3)),
+        )
+        nspb = cfg.geometry().num_samples_per_block
+        n = int(rng.integers(1, 3 * nspb + 2))
+        pcm = rng.integers(-32768, 32768, (nch, n)).astype(np.int32)
+
+        a = encode(pcm, cfg, engine="scan")
+        b = native.encode(pcm, cfg)
+        assert a == b, f"geometry {cfg} diverged"
+
+        _, dj = decode(a)
+        _, dn = native.decode(a)
+        np.testing.assert_array_equal(np.asarray(dj), np.asarray(dn))
+        assert dj.shape == (nch, n)
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_random_geometry_parallel_mode(self, seed):
+        """Parallel mode upholds its per-block-concat property on random
+        geometries too (exercises the wire32 encode permutations for
+        non-default interleave patterns)."""
+        from aad_tpu.codec.decoder import decode
+        from aad_tpu.codec.encoder import EncodeConfig, encode
+
+        rng = np.random.default_rng(2000 + seed)
+        nch = int(rng.integers(1, 3))
+        bps = int(rng.integers(2, 5))
+        mbs = int(rng.integers(40 * nch, 500))
+        cfg = EncodeConfig(
+            num_channels=nch,
+            sampling_rate=8000,
+            bits_per_sample=bps,
+            max_block_size=mbs,
+            num_encode_trials=1,
+        )
+        nspb = cfg.geometry().num_samples_per_block
+        n = 3 * nspb + int(rng.integers(1, nspb))
+        pcm = rng.integers(-32768, 32768, (nch, n)).astype(np.int32)
+
+        par = encode(pcm, cfg, engine="scan", parallel_blocks=True)
+        parts = []
+        for b in range(4):
+            sl = pcm[:, b * nspb : (b + 1) * nspb]
+            if sl.shape[1] == 0:
+                break
+            parts.append(encode(sl, cfg, engine="scan")[31:])
+        assert par == par[:31] + b"".join(parts)
+        _, dn = native.decode(par)
+        assert np.asarray(dn).shape == (nch, n)
