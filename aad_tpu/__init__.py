@@ -56,6 +56,7 @@ from .codec.encoder import EncodeConfig, Encoder, encode
 from .codec.streaming import StreamingDecoder, StreamingEncoder
 from .codec.batch import decode_batch
 from .codec.batch_encode import encode_batch
+from .codec.transcode import transcode
 from . import native
 from .io import decode_file, encode_file
 from .utils.quality import QualityStats, quality_stats, roundtrip_stats, self_check
@@ -90,6 +91,7 @@ __all__ = [
     "decode",
     "decode_batch",
     "encode_batch",
+    "transcode",
     "decode_file",
     "decode_header",
     "encode",
