@@ -598,38 +598,72 @@ def encode_blocks_parallel(
 
     carry = None
     for _ in range(warm_passes):
-        if engine == "pallas" and c == 1:
-            from .pallas_encode_fused import encode_stream_fused
-
-            _, _, st = encode_stream_fused(
-                xs, vs, bits_per_sample, 0, carry=carry,
-                warm_on_prev=False, packed_codes=True,
-                emit_block_states=True,
-            )
-            st = jax.tree.map(lambda x: x[0], st)  # (G, *lanes[, 4])
-        else:
-            _, _, (st, _) = encode_stream_blocks_carry(
-                xs, vs, bits_per_sample, 0, carry=carry,
-                engine=engine, warm_on_prev=warm,
-            )
-
-        def shift(x):  # chunk g <- chunk g-1's final state; chunk 0 <- 0
-            return jnp.concatenate(
-                [jnp.zeros_like(x[:1]), x[:-1]], axis=0
-            )
-
-        init = CodecState(
-            history=shift(st.history),
-            weight=shift(st.weight),
-            step_index=shift(st.step_index),
+        st = parallel_warm_states(
+            xs, vs, bits_per_sample, engine=engine, carry=carry,
+            warm_on_prev=warm,
         )
-        carry = (init, jnp.zeros_like(xs[0]))
+        carry = (shift_chunk_states(st), jnp.zeros_like(xs[0]))
 
     headers, kw, _ = encode_stream_words(
         xs, vs, bits_per_sample, num_trials,
         engine=engine, warm_on_prev=warm, need_carry=False, carry=carry,
     )
     return jax.tree.map(from_chunks, headers), from_chunks(kw)
+
+
+def parallel_warm_states(
+    xs: Array,
+    vs: Array,
+    bits_per_sample: int,
+    *,
+    engine: str = "scan",
+    carry=None,
+    warm_on_prev: bool = False,
+) -> CodecState:
+    """One Jacobi warm pass: per-chunk final chain states.
+
+    ``xs``/``vs`` are chunked inputs, (c, G, *lanes[, nspb]) — scan step j
+    handles block g*c+j of chunk g. Encodes every chunk with trials=0 from
+    ``carry`` (or the initial state) and returns the state after each
+    chunk's last block, leaves shaped (G, *lanes[, 4]). The sharded layer
+    interleaves these passes with a ring handoff collective
+    (parallel.sharded.encode_blocks_parallel_sharded).
+    """
+    c = xs.shape[0]
+    if engine == "pallas" and c == 1:
+        from .pallas_encode_fused import encode_stream_fused
+
+        _, _, st = encode_stream_fused(
+            xs, vs, bits_per_sample, 0, carry=carry,
+            warm_on_prev=False, packed_codes=True,
+            emit_block_states=True,
+        )
+        return jax.tree.map(lambda x: x[0], st)
+    _, _, (st, _) = encode_stream_blocks_carry(
+        xs, vs, bits_per_sample, 0, carry=carry,
+        engine=engine, warm_on_prev=warm_on_prev,
+    )
+    return st
+
+
+def shift_chunk_states(st: CodecState, head: CodecState | None = None) -> CodecState:
+    """Chunk g's init <- chunk g-1's final state; chunk 0 <- ``head`` or 0.
+
+    ``head`` (leaves shaped like one chunk's lanes) is the ring-handoff
+    slot: the previous *shard*'s last-chunk state in the sharded warm pass.
+    """
+
+    def shift(x, h):
+        first = jnp.zeros_like(x[:1]) if h is None else h[None]
+        return jnp.concatenate([first, x[:-1]], axis=0)
+
+    return CodecState(
+        history=shift(st.history, None if head is None else head.history),
+        weight=shift(st.weight, None if head is None else head.weight),
+        step_index=shift(
+            st.step_index, None if head is None else head.step_index
+        ),
+    )
 
 
 def lr_to_ms(pcm: Array) -> Array:

@@ -153,26 +153,36 @@ def encode_blocks_parallel_sharded(
     src/aad_encoder.c:870).
 
     The quality knobs compose with the mesh: ``chunk_blocks``/
-    ``warm_passes`` (see ops.encode.encode_blocks_parallel) apply *within
-    each shard* — the block axis is padded to a multiple of
-    ``mesh.size * chunk_blocks`` so shard boundaries always fall on chunk
-    boundaries, keeping wp=0 output identical to the unsharded call; warm
-    state does not cross shards (the hot path stays collective-free), so
-    each shard's first chunk is a stream head.
+    ``warm_passes`` (see ops.encode.encode_blocks_parallel) — the block
+    axis is padded to a multiple of ``mesh.size * chunk_blocks`` so shard
+    boundaries always fall on chunk boundaries, and between warm passes
+    each shard hands its last chunk's final chain state to the next shard
+    with a ring ``ppermute`` (the mesh's one hot-path collective, riding
+    ICI). Sharded output is therefore **bit-identical to the unsharded
+    call for every (chunk_blocks, warm_passes)** — pinned by
+    tests/test_sharding.py.
 
     Args:
       blocks: (B, C, nspb) int32 zero-padded (MS already applied).
       valid:  (B,) int32 valid sample counts.
     Returns:
-      (headers, kernel words (B, C, Wk)) — identical to the unsharded
-      encode_blocks_parallel output (pinned by tests/test_sharding.py).
+      (headers, kernel words (B, C, Wk)).
     """
-    from ..ops.encode import BlockHeaderFields, encode_blocks_parallel
+    from ..ops.encode import (
+        BlockHeaderFields,
+        encode_blocks_parallel,
+        encode_stream_words,
+        parallel_warm_states,
+        shift_chunk_states,
+    )
 
-    total = mesh.size * max(int(chunk_blocks), 1)
+    c = max(int(chunk_blocks), 1)
+    total = mesh.size * c
     spec = P(("dp", "sp"))
     blocks, B = _pad_axis0(blocks, total)
     valid, _ = _pad_axis0(valid, total)
+    n_shards = mesh.size
+    ring = [(i, i + 1) for i in range(n_shards - 1)]
 
     @functools.partial(
         shard_map,
@@ -187,10 +197,46 @@ def encode_blocks_parallel_sharded(
         check_vma=False,
     )
     def _local(bl, va):
-        return encode_blocks_parallel(
-            bl, va, bits_per_sample, num_trials, engine=engine,
-            chunk_blocks=chunk_blocks, warm_passes=warm_passes,
+        if warm_passes == 0:
+            return encode_blocks_parallel(
+                bl, va, bits_per_sample, num_trials, engine=engine,
+                chunk_blocks=c,
+            )
+        B_loc = bl.shape[0]
+        G = B_loc // c
+
+        def to_chunks(x):
+            return jnp.swapaxes(x.reshape(G, c, *x.shape[1:]), 0, 1)
+
+        def from_chunks(x):
+            return jnp.swapaxes(x, 0, 1).reshape(B_loc, *x.shape[2:])
+
+        xs = to_chunks(bl)
+        vs = to_chunks(va[:, None])
+        warm = c > 1
+        carry = None
+        for _ in range(warm_passes):
+            st = parallel_warm_states(
+                xs, vs, bits_per_sample, engine=engine, carry=carry,
+                warm_on_prev=warm,
+            )
+            # ring handoff: this shard's last-chunk state seeds the next
+            # shard's first chunk (shard 0 stays a stream head — ppermute
+            # delivers zeros to non-receivers), making the sharded warm
+            # pass bit-identical to the unsharded one.
+            last = jax.tree.map(lambda x: x[-1], st)
+            head = jax.tree.map(
+                lambda x: jax.lax.ppermute(x, ("dp", "sp"), ring), last
+            )
+            carry = (
+                shift_chunk_states(st, head=head),
+                jnp.zeros_like(xs[0]),
+            )
+        headers, kw, _ = encode_stream_words(
+            xs, vs, bits_per_sample, num_trials,
+            engine=engine, warm_on_prev=warm, need_carry=False, carry=carry,
         )
+        return jax.tree.map(from_chunks, headers), from_chunks(kw)
 
     headers, words = jax.jit(_local)(blocks, valid)
     trim = lambda x: x[:B]

@@ -234,3 +234,32 @@ class TestSequenceParallelEncode:
         np.testing.assert_array_equal(np.asarray(w_s), np.asarray(w_u))
         for a, b in zip(h_s, h_u):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.parametrize("c,wp", [(1, 1), (2, 1), (2, 2)])
+    def test_warm_ring_matches_unsharded(self, c, wp):
+        """Warm passes hand state across shards via a ring ppermute, so
+        sharded output is bit-identical to the unsharded warm encode."""
+        from aad_tpu.ops.encode import encode_blocks_parallel
+        from aad_tpu.parallel.sharded import encode_blocks_parallel_sharded
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(17)
+        B, C, nspb = 8 * c * 2 + 3, 2, 60  # pad path exercised
+        blocks = jnp.asarray(
+            rng.integers(-20000, 20000, (B, C, nspb)).astype(np.int32)
+        )
+        valid = np.full(B, nspb, dtype=np.int32)
+        valid[-1] = nspb - 13
+        jv = jnp.asarray(valid)
+        h_s, w_s = encode_blocks_parallel_sharded(
+            blocks, jv, bits_per_sample=4, num_trials=1, mesh=mesh,
+            chunk_blocks=c, warm_passes=wp,
+        )
+        h_u, w_u = encode_blocks_parallel(
+            blocks, jv, 4, 1, engine="scan", chunk_blocks=c, warm_passes=wp
+        )
+        np.testing.assert_array_equal(np.asarray(w_s), np.asarray(w_u))
+        for a, b in zip(h_s, h_u):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
