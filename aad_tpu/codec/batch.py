@@ -35,6 +35,14 @@ def decode_batch(
     """
     from .decoder import _bucket_blocks, _device_pipeline_words_jit
 
+    if engine == "native":
+        # threaded GIL-free C calls: the CPU-host batch path
+        from .. import native as _native
+
+        return [
+            (h, p.astype(np.int16))
+            for h, p in _native.decode_batch(streams)
+        ]
     engine = resolve_engine(engine)
 
     parsed = []

@@ -42,6 +42,11 @@ def encode_batch(
     block from a fresh state, blocks joining the lane axes).
     """
     config.validate()
+    if engine == "native":
+        # threaded GIL-free C calls: the CPU-host batch path
+        from .. import native as _native
+
+        return _native.encode_batch(streams, config)
     engine = resolve_encode_engine(engine)
     geo = config.geometry()
     nspb = geo.num_samples_per_block

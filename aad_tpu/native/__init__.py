@@ -180,3 +180,42 @@ def encode(pcm: np.ndarray, config) -> bytes:
     )
     _raise(rc, "encode")
     return out[: out_size.value].tobytes()
+
+
+def encode_batch(streams, config, max_workers: int | None = None) -> list[bytes]:
+    """Threaded native batch encode: one GIL-free C call per stream.
+
+    The C API is stateless per call (all work memory is local to
+    aadx_encode — aadx.cc keeps no globals), and ctypes drops the GIL for
+    the duration of every foreign call, so a plain thread pool scales the
+    ~11 M samples/s single-stream engine with host core count (the bench
+    host has a single core, so no speedup is observable there — the pool
+    sizes itself to os.cpu_count()). This is the CPU-host counterpart of
+    the device batch pipeline; results are byte-identical to per-stream
+    native encodes (and therefore to the reference binary).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if _load() is None:
+        raise RuntimeError("native codec unavailable")
+    streams = list(streams)
+    if len(streams) <= 1:
+        return [encode(pcm, config) for pcm in streams]
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return list(pool.map(lambda pcm: encode(pcm, config), streams))
+
+
+def decode_batch(datas, max_workers: int | None = None):
+    """Threaded native batch decode; see :func:`encode_batch`.
+
+    Returns [(HeaderInfo, pcm[C, N] int32), ...] in input order.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if _load() is None:
+        raise RuntimeError("native codec unavailable")
+    datas = list(datas)
+    if len(datas) <= 1:
+        return [decode(d) for d in datas]
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return list(pool.map(decode, datas))

@@ -255,3 +255,47 @@ class TestGeometryFuzz:
         assert par == par[:31] + b"".join(parts)
         _, dn = native.decode(par)
         assert np.asarray(dn).shape == (nch, n)
+
+
+class TestNativeBatch:
+    """Threaded native batch: GIL-free C calls across host cores."""
+
+    def test_encode_batch_matches_solo_and_scales(self):
+        from aad_tpu.codec.batch_encode import encode_batch as api_batch
+        from aad_tpu.codec.encoder import EncodeConfig
+
+        rng = np.random.default_rng(5)
+        cfg = EncodeConfig(num_channels=2, sampling_rate=16000)
+        streams = [
+            rng.integers(-32768, 32768, (2, n)).astype(np.int32)
+            for n in (3000, 1, 5000, 2048)
+        ]
+        out = native.encode_batch(streams, cfg)
+        for pcm, blob in zip(streams, out):
+            assert blob == native.encode(pcm, cfg)
+        # the public batch API routes engine="native" here
+        assert api_batch(streams, cfg, engine="native") == out
+
+    def test_decode_batch_matches_solo(self):
+        from aad_tpu.codec.batch import decode_batch as api_batch
+        from aad_tpu.codec.encoder import EncodeConfig, encode
+
+        rng = np.random.default_rng(7)
+        cfg = EncodeConfig(num_channels=1, sampling_rate=8000,
+                           bits_per_sample=3)
+        blobs = [
+            encode(
+                rng.integers(-32768, 32768, (1, n)).astype(np.int32),
+                cfg, engine="scan",
+            )
+            for n in (2500, 100, 4000)
+        ]
+        got = native.decode_batch(blobs)
+        api = api_batch(blobs, engine="native")
+        for (h1, p1), (h2, p2), blob in zip(got, api, blobs):
+            hs, ps = native.decode(blob)
+            np.testing.assert_array_equal(np.asarray(p1), np.asarray(ps))
+            np.testing.assert_array_equal(
+                np.asarray(p2), np.asarray(ps).astype(np.int16)
+            )
+            assert h1.num_samples == hs.num_samples == h2.num_samples
