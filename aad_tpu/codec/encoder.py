@@ -22,7 +22,6 @@ import numpy as np
 from ..constants import (
     CH_PROCESS_INVALID,
     CH_PROCESS_MS,
-    FILTER_ORDER,
     MAX_BITS_PER_SAMPLE,
     MAX_NUM_CHANNELS,
     block_header_size,
