@@ -97,4 +97,22 @@ def self_check(verbose: bool = False) -> dict:
         if verbose:  # pragma: no cover - cosmetic
             print(f"bps={bps}: engines bit-exact")
 
+    # block-parallel mode: its defining property (== concatenated
+    # independent single-block encodes) plus decodability
+    cfg = EncodeConfig(
+        num_channels=2, sampling_rate=16000, max_block_size=256
+    )
+    nspb = cfg.geometry().num_samples_per_block
+    par = encode(pcm, cfg, engine="auto", parallel_blocks=True)
+    parts = []
+    for b in range(-(-n // nspb)):
+        sl = pcm[:, b * nspb : (b + 1) * nspb]
+        parts.append(encode(sl, cfg, engine="scan")[31:])
+    assert par == par[:31] + b"".join(parts), "parallel-mode mismatch"
+    _, par_pcm = decode(par, engine="auto")
+    assert np.asarray(par_pcm).shape == pcm.shape
+    report["checks"].append({"parallel_blocks": True, "ok": True})
+    if verbose:  # pragma: no cover - cosmetic
+        print("parallel mode: per-block property holds")
+
     return report
