@@ -140,7 +140,7 @@ class TestQuality:
         from aad_tpu.utils.quality import self_check
 
         report = self_check()
-        assert len(report["checks"]) == 3
+        assert len(report["checks"]) == 4
         assert all(c["ok"] for c in report["checks"])
 
 
