@@ -41,10 +41,14 @@ REF_SOURCES = pathlib.Path("/root/reference")
 SECONDS = int(os.environ.get("AAD_BENCH_SECONDS", "600"))
 RATE = 48000
 NCH = 2
-# Enough iterations to amortise the single dispatch's fixed cost (~24 ms
-# through the tunnel) against the ~2.3 ms/iteration device time: the
-# reported number is the sustained steady-state rate.
-ITERS = int(os.environ.get("AAD_BENCH_ITERS", "100"))
+# Enough iterations to amortise the single dispatch's fixed cost (~25 ms
+# through the tunnel) against the ~2 ms/iteration device time: the
+# reported number is the sustained steady-state rate. At 100 iterations
+# the dispatch still contributed ~0.25 ms/iter (~11%); 400 puts it under
+# 3%. The encode loops use 64 for the same reason (their iterations are
+# 6-12 ms each).
+ITERS = int(os.environ.get("AAD_BENCH_ITERS", "400"))
+ENC_ITERS = int(os.environ.get("AAD_BENCH_ENC_ITERS", "64"))
 
 
 def build_synthetic_stream(num_samples: int):
@@ -286,7 +290,7 @@ def measure_encode():
                 0, iters, body, (bl, out0, out0[0, 0, 0].astype(jnp.int32))
             )
 
-        iters = 8
+        iters = ENC_ITERS
         bl, out, tok = run(blocks, jnp.int32(0), iters)
         float(tok)
         t0 = time.time()
@@ -348,7 +352,7 @@ def measure_encode_parallel():
                 0, iters, body, (bl, out0, out0[0, 0].astype(jnp.int32))
             )
 
-        iters = 8
+        iters = ENC_ITERS
         bl, out, tok = run(blocks, jnp.int32(0), iters)
         float(tok)
         t0 = time.time()
