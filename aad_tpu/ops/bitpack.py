@@ -16,11 +16,9 @@ namespace) so host-side tools can reuse the same code.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import FILTER_ORDER
 from ..format.geometry import BlockGeometry
 
 __all__ = ["unpack_codes", "pack_codes"]
@@ -93,74 +91,3 @@ def pack_codes(codes: "np.ndarray", geo: BlockGeometry):
         ).astype(xp.uint8)
 
     return data.reshape(*data.shape[:-3], geo.data_bytes)
-
-
-def codes_per_geometry(geo: BlockGeometry) -> int:
-    return geo.num_samples_per_block - FILTER_ORDER
-
-
-# --- direct word-space unpack (fused-kernel fast path) ----------------------
-# The fused decode kernel consumes codes packed 8-per-u32 (LSB-first 4-bit
-# slots). For 4-bit streams that layout is a pure bit permutation of the wire
-# bytes, so the u8 unpack + repack round trip (slow on TPU's (32,128) byte
-# tiling) collapses to a handful of u32 shift/mask ops.
-
-
-def _nibble_swap(x):
-    """Swap hi/lo nibbles of every byte in a u32 array."""
-    m = jnp.uint32(0x0F0F0F0F)
-    return ((x >> 4) & m) | ((x & m) << 4)
-
-
-def supports_direct_words(geo: BlockGeometry) -> bool:
-    return geo.bits_per_sample == 4 and geo.num_channels in (1, 2)
-
-
-def unpack_to_code_words(data, geo: BlockGeometry):
-    """Block data regions -> kernel code words, channel-major lanes.
-
-    Args:
-      data: (B, data_bytes) uint8.
-    Returns:
-      (C*B, W) uint32 with W = ceil(codes_per_block / 8); lane order is
-      channel-major (all blocks of channel 0, then channel 1), matching the
-      decoder pipeline's lane layout.
-    """
-    assert supports_direct_words(geo)
-    B = data.shape[0]
-    nch = geo.num_channels
-    T = geo.num_units * geo.samples_per_unit
-    W = -(-T // 8)
-    # pad rows so each block is a whole number of (pairs of) u32 words;
-    # the zero tail reproduces pack_code_words' zero padding.
-    row_bytes = W * 4 * nch
-    d = jnp.pad(data.astype(jnp.uint8), ((0, 0), (0, row_bytes - data.shape[1])))
-    words = jax.lax.bitcast_convert_type(
-        d.reshape(B, row_bytes // 4, 4), jnp.uint32
-    )  # little-endian: byte k -> bits 8k..8k+7
-
-    if nch == 1:
-        # bytes are 2 codes each, high nibble first; LSB-first slots need a
-        # nibble swap only.
-        return _nibble_swap(words)
-
-    # stereo: bytes alternate ch0/ch1 per 2-sample unit -> deinterleave the
-    # even/odd bytes of each word pair, then nibble-swap.
-    pairs = words.reshape(B, W, 2)
-    a = pairs[..., 0]
-    b = pairs[..., 1]
-    ff = jnp.uint32(0xFF)
-    ch0 = (
-        (a & ff)
-        | (((a >> 16) & ff) << 8)
-        | ((b & ff) << 16)
-        | (((b >> 16) & ff) << 24)
-    )
-    ch1 = (
-        ((a >> 8) & ff)
-        | (((a >> 24) & ff) << 8)
-        | (((b >> 8) & ff) << 16)
-        | (((b >> 24) & ff) << 24)
-    )
-    out = jnp.stack([_nibble_swap(ch0), _nibble_swap(ch1)], axis=0)  # (2, B, W)
-    return out.reshape(nch * B, W)

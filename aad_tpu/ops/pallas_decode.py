@@ -363,7 +363,7 @@ def decode_fused_words(
     """As :func:`decode_fused` but consuming pre-packed code words.
 
     ``words``: (L, ceil(num_codes/8)) uint32, 8 LSB-first 4-bit code slots
-    per word (see ops.bitpack.unpack_to_code_words for the wire fast path).
+    per word (ops.wire32 builds this layout straight from wire words).
     """
     corrections = stepsize_corrections()
     return _decode_words(

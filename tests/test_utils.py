@@ -79,40 +79,6 @@ class TestWordPacking:
         out = unpack_sample_words(jnp.asarray(packed.astype(np.uint32)))
         np.testing.assert_array_equal(np.asarray(out), samples)
 
-    def test_unpack_to_code_words_matches_reference_path(self):
-        from aad_tpu.ops.bitpack import (
-            supports_direct_words,
-            unpack_codes,
-            unpack_to_code_words,
-        )
-        from aad_tpu.ops.pallas_decode import pack_code_words
-
-        rng = np.random.default_rng(1)
-        for nch in (1, 2):
-            geo = compute_block_geometry(256, nch, 4)
-            assert supports_direct_words(geo)
-            data = rng.integers(0, 256, (7, geo.data_bytes), dtype=np.uint8)
-            words = np.asarray(unpack_to_code_words(jnp.asarray(data), geo))
-            codes = unpack_codes(data, geo)  # (B, C, T)
-            ref = np.asarray(
-                pack_code_words(
-                    jnp.asarray(np.swapaxes(codes, 0, 1).reshape(nch * 7, -1))
-                )
-            )
-            np.testing.assert_array_equal(words, ref)
-
-
-def test_main_module_entry():
-    import subprocess
-    import sys
-
-    r = subprocess.run(
-        [sys.executable, "-m", "aad_tpu", "-v"],
-        capture_output=True, text=True, cwd="/root/repo", timeout=120,
-    )
-    assert r.returncode == 0 and "Version" in r.stdout
-
-
 class TestQuality:
     def test_quality_stats(self):
         from aad_tpu.utils.quality import quality_stats
