@@ -142,6 +142,94 @@ def main() -> None:
     timed("through_kernel_packed", s_kernel)
     timed("full_pipeline_flat", s_full)
 
+    encode_stages(seconds)
+
+
+def encode_stages(seconds: int) -> None:
+    """Marginal per-stage costs of the block-parallel encode pipeline."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from aad_tpu.codec.encoder import (
+        EncodeConfig,
+        _encode_device_wire,
+        resolve_encode_engine,
+    )
+    from aad_tpu.ops.encode import encode_blocks_parallel
+    from aad_tpu.ops.wire32 import kernel_words_to_wire
+
+    engine = resolve_encode_engine("auto")
+    cfg = EncodeConfig(num_channels=2, sampling_rate=48000)
+    geo = cfg.geometry()
+    nspb = geo.num_samples_per_block
+    B = max(512, (48000 * seconds) // (2 * nspb))
+    B = -(-B // 512) * 512
+    sig = (9000 * np.sin(np.arange(B * 2 * nspb) / 17)).astype(np.int32)
+    blocks = jnp.asarray(sig.reshape(B, 2, nspb))
+    valid = jnp.full(B, nspb, dtype=jnp.int32)
+    total = B * 2 * nspb
+
+    baseline_ms = [0.0]
+
+    def timed(label, fn, iters=64, is_baseline=False):
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def run(bl, n):
+            def body(_, carry):
+                bl, out, tok = carry
+                bl2 = bl.at[0, 0, 0].set(tok & 1)
+                return (bl,) + fn(bl2)
+
+            out0, tok0 = fn(bl)
+            return lax.fori_loop(0, n, body, (bl, out0, tok0))
+
+        bl, out, tok = run(blocks, iters)
+        float(tok)
+        t0 = time.time()
+        bl, out, tok = run(blocks, iters)
+        float(tok)
+        dt = (time.time() - t0) / (iters + 1)
+        if is_baseline:
+            baseline_ms[0] = dt * 1e3
+            print(json.dumps({
+                "stage": label, "dispatch_floor_ms": round(dt * 1e3, 3),
+            }))
+            return
+        ms = dt * 1e3 - baseline_ms[0]
+        print(json.dumps({
+            "stage": label,
+            "marginal_ms": round(ms, 3),
+            "gsamples_per_sec": round(total / (ms * 1e-3) / 1e9, 3),
+        }))
+
+    def e_noop(bl):
+        return bl[0, 0, :4], bl[0, 0, 0]
+
+    def e_kernel(bl):  # relayout + 3-pass trials=2 kernel, packed words out
+        h, kw = encode_blocks_parallel(bl, valid, 4, 2, engine=engine)
+        return kw, (kw[0, 0, 0] + h.step_index[0, 0].astype(jnp.uint32)
+                    ).astype(jnp.int32)
+
+    def e_wire(bl):  # + channel-interleave wire permutation
+        h, kw = encode_blocks_parallel(bl, valid, 4, 2, engine=engine)
+        dw = kernel_words_to_wire(kw, geo)
+        return dw, (dw[0, 0] + h.step_index[0, 0].astype(jnp.uint32)
+                    ).astype(jnp.int32)
+
+    def e_full(bl):  # + header packing + row assembly
+        w = _encode_device_wire(
+            bl, valid, geo=geo, num_trials=2, ms=False, engine=engine,
+            parallel=True,
+        )
+        return w, w[0, 0].astype(jnp.int32)
+
+    print(json.dumps({"config": {"encode_blocks": int(B),
+                                 "samples": int(total)}}))
+    timed("encode_noop", e_noop, is_baseline=True)
+    timed("encode_relayout_kernel", e_kernel)
+    timed("encode_plus_wire_permutation", e_wire)
+    timed("encode_full_parallel", e_full)
+
 
 if __name__ == "__main__":
     main()
