@@ -279,7 +279,9 @@ class Decoder:
     def decode_payload(self, payload: np.ndarray) -> jax.Array:
         return self.decode_framed(self.frame(payload))
 
-    def decode_payload_ondevice(self, payload, bucket: bool = True):
+    def decode_payload_ondevice(
+        self, payload, bucket: bool = True, strict: bool = True
+    ):
         """Fully fused on-device decode (bitstream parsing included).
 
         ``payload`` is the post-header byte stream; the host reinterprets it
@@ -292,22 +294,52 @@ class Decoder:
         geometric bucket and the sample count left dynamic, so arbitrary
         file lengths share O(log) compiled pipelines instead of one per
         length — padding blocks decode garbage that is sliced away.
+
+        ``strict=False`` opts into the reference's decode-what's-there
+        behaviour on truncated payloads (reference: src/aad_decoder.c:514-538
+        loop exit; src/main.c:102-111 writes the full-length buffer anyway):
+        every block chunk that still holds at least its block header decodes
+        (missing trailing bytes read as zero codes — where the reference
+        over-reads its file buffer, which is undefined), a final fragment
+        smaller than the block header is dropped, and the undecoded tail is
+        returned as zero samples (where the reference emits uninitialised
+        memory). The default is strict: a mid-stream cut raises
+        InsufficientDataError, never silent data loss.
         """
         from ..format.geometry import encoded_stream_size, num_blocks_for
-        from ..ops.wire32 import payload_to_words, supports_wire32
         from .result import InsufficientDataError
 
         h = self.header
         geo = self.geometry
         payload = np.asarray(payload, dtype=np.uint8)
         need = encoded_stream_size(geo, h.num_samples)
-        if payload.shape[-1] < need:
-            # Match the framed and native engines: a mid-stream cut is an
-            # error, never silent garbage (see format.framing.split_blocks).
-            raise InsufficientDataError(
-                f"payload holds {payload.shape[-1]} bytes; {need} required"
-            )
         nblocks = num_blocks_for(h.num_samples, h.num_samples_per_block)
+        if payload.shape[-1] < need:
+            if strict:
+                # Match the framed and native engines: a mid-stream cut is
+                # an error, never silent garbage (format.framing.split_blocks).
+                raise InsufficientDataError(
+                    f"payload holds {payload.shape[-1]} bytes; {need} required"
+                )
+            full_b, rem = divmod(int(payload.shape[-1]), geo.block_size)
+            nb_avail = min(nblocks, full_b + (1 if rem >= geo.header_bytes else 0))
+            decoded_n = min(h.num_samples, nb_avail * h.num_samples_per_block)
+            out = np.zeros((h.num_channels, h.num_samples), dtype=np.int16)
+            if nb_avail:
+                out[:, :decoded_n] = self._decode_prefix(
+                    payload, nb_avail, decoded_n, bucket
+                )
+            return out
+        return self._decode_prefix(payload, nblocks, h.num_samples, bucket)
+
+    def _decode_prefix(
+        self, payload: np.ndarray, nblocks: int, num_samples: int, bucket: bool
+    ):
+        """Decode the first ``nblocks`` blocks to (C, num_samples) int16."""
+        from ..ops.wire32 import payload_to_words, supports_wire32
+
+        h = self.header
+        geo = self.geometry
         nb_padded = _bucket_blocks(nblocks) if bucket else nblocks
         if supports_wire32(geo):
             if self.engine == "fused":
@@ -332,7 +364,7 @@ class Decoder:
             if arr.dtype == np.uint32:
                 arr = arr.view("<i2")
             full = arr.reshape(h.num_channels, -1)
-            return full[:, : h.num_samples]
+            return full[:, :num_samples]
         total = nb_padded * geo.block_size
         buf = np.zeros(total, dtype=np.uint8)
         n = min(payload.shape[0], nblocks * geo.block_size)
@@ -346,7 +378,7 @@ class Decoder:
             num_samples=nb_padded * h.num_samples_per_block,
             engine=self.engine,
         )
-        return np.asarray(full[:, : h.num_samples]).astype(np.int16)
+        return np.asarray(full[:, :num_samples]).astype(np.int16)
 
     def decode_time_range(
         self, payload: np.ndarray, start_seconds: float, end_seconds: float
@@ -415,7 +447,9 @@ class Decoder:
         )
 
 
-def decode(data: bytes | np.ndarray, engine: str = "auto") -> tuple[HeaderInfo, np.ndarray]:
+def decode(
+    data: bytes | np.ndarray, engine: str = "auto", strict: bool = True
+) -> tuple[HeaderInfo, np.ndarray]:
     """Decode a complete .aad stream.
 
     Returns (header, pcm) where pcm is (num_channels, num_samples) int32 in
@@ -425,6 +459,11 @@ def decode(data: bytes | np.ndarray, engine: str = "auto") -> tuple[HeaderInfo, 
     ``engine="auto"`` picks the fused device pipeline on TPU; on
     accelerator-less hosts it prefers the native codec (milliseconds vs a
     per-shape jit compile). Pass an explicit engine to override.
+
+    ``strict=False`` opts into the reference's decode-what's-there behaviour
+    on truncated payloads: available whole blocks decode, the missing tail
+    returns as zero samples (see Decoder.decode_payload_ondevice). The
+    default raises InsufficientDataError on any mid-stream cut.
     """
     buf = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(
         data, (bytes, bytearray)
@@ -432,7 +471,19 @@ def decode(data: bytes | np.ndarray, engine: str = "auto") -> tuple[HeaderInfo, 
     header = decode_header(buf.tobytes()[:FILE_HEADER_SIZE])
     validate_header(header)
 
-    if engine == "auto":
+    # The native engine is strict-only; lenient decodes of truncated
+    # payloads route through the device/scan pipeline instead.
+    from ..format.geometry import encoded_stream_size, geometry_from_header
+
+    truncated = not strict and buf.shape[0] - FILE_HEADER_SIZE < (
+        encoded_stream_size(
+            geometry_from_header(
+                header.num_channels, header.bits_per_sample, header.block_size
+            ),
+            header.num_samples,
+        )
+    )
+    if engine == "auto" and not truncated:
         from ..ops.decode import _on_tpu
 
         if not _on_tpu():
@@ -441,10 +492,15 @@ def decode(data: bytes | np.ndarray, engine: str = "auto") -> tuple[HeaderInfo, 
             if native.available():
                 return native.decode(buf)
     elif engine == "native":
+        if truncated:
+            raise InvalidArgumentError(
+                "engine='native' does not support strict=False on truncated "
+                "payloads; use engine='auto' or a JAX engine"
+            )
         from .. import native
 
         return native.decode(buf)
 
     dec = Decoder.from_header(header, engine=engine)
-    pcm = dec.decode_payload_ondevice(buf[FILE_HEADER_SIZE:])
+    pcm = dec.decode_payload_ondevice(buf[FILE_HEADER_SIZE:], strict=strict)
     return header, np.asarray(pcm, dtype=np.int32)

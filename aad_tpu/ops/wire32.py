@@ -553,7 +553,7 @@ def wire_words_to_payload(
         num_blocks_for,
     )
 
-    rows = np.ascontiguousarray(words).view(np.uint8)
+    rows = np.ascontiguousarray(words).astype("<u4", copy=False).view(np.uint8)
     rows = rows.reshape(words.shape[0], -1)[:, : geo.block_size]
     nblocks = num_blocks_for(num_samples, geo.num_samples_per_block)
     rows = rows[:nblocks]

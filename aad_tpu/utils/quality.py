@@ -64,6 +64,7 @@ def self_check(verbose: bool = False) -> dict:
 
     from ..codec.decoder import decode
     from ..codec.encoder import EncodeConfig, encode
+    from ..constants import FILE_HEADER_SIZE
     from ..ops.decode import resolve_engine
 
     rng = np.random.default_rng(0)
@@ -107,8 +108,10 @@ def self_check(verbose: bool = False) -> dict:
     parts = []
     for b in range(-(-n // nspb)):
         sl = pcm[:, b * nspb : (b + 1) * nspb]
-        parts.append(encode(sl, cfg, engine="scan")[31:])
-    assert par == par[:31] + b"".join(parts), "parallel-mode mismatch"
+        parts.append(encode(sl, cfg, engine="scan")[FILE_HEADER_SIZE:])
+    assert (
+        par == par[:FILE_HEADER_SIZE] + b"".join(parts)
+    ), "parallel-mode mismatch"
     _, par_pcm = decode(par, engine="auto")
     assert np.asarray(par_pcm).shape == pcm.shape
     report["checks"].append({"parallel_blocks": True, "ok": True})

@@ -309,7 +309,7 @@ def measure_encode_parallel():
     encodes from a fresh state, so a single stream's blocks ride the
     kernel lane axis — the sequential single-stream latency bound
     disappears. Measures the full device pipeline (trial search, code
-    emission, header packing, wire assembly) on one ~85 s stereo stream.
+    emission, header packing, wire assembly) on one ~340 s stereo stream.
     Returns samples/s; 0 on failure.
     """
     try:

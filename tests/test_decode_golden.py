@@ -19,7 +19,7 @@ from aad_tpu.format.wav import read_wav
         ("sin300Hz.aad", "sin300Hz_decoded.wav"),
     ],
 )
-@pytest.mark.parametrize("engine", ["scan"])
+@pytest.mark.parametrize("engine", ["scan", "pallas"])
 def test_golden_decode_bit_exact(fixture_dir, aad_name, wav_name, engine):
     data = (fixture_dir / aad_name).read_bytes()
     header, pcm = decode(data, engine=engine)
@@ -137,3 +137,63 @@ class TestTruncationJaxEngines:
         header, want = decode(stream, engine="scan")
         _, got = decode(stream + b"\xa5" * 13, engine="scan")
         np.testing.assert_array_equal(got, want)
+
+
+class TestLenientTruncation:
+    """strict=False reproduces the reference's decode-what's-there loop
+    (reference: src/aad_decoder.c:514-538): whole blocks present in the
+    payload decode normally and the missing tail returns as zero samples
+    (where the reference CLI writes uninitialised memory,
+    src/main.c:102-126)."""
+
+    @pytest.fixture(scope="class")
+    def stream(self, fixture_dir):
+        return (fixture_dir / "sin300Hz.aad").read_bytes()
+
+    def test_block_boundary_cut_decodes_prefix(self, stream):
+        from aad_tpu import FILE_HEADER_SIZE
+
+        header, whole = decode(stream, engine="scan")
+        bs = header.block_size
+        nspb = header.num_samples_per_block
+        cut = FILE_HEADER_SIZE + 5 * bs  # exactly five whole blocks
+        _, got = decode(stream[:cut], engine="scan", strict=False)
+        assert got.shape == whole.shape
+        np.testing.assert_array_equal(got[:, : 5 * nspb], whole[:, : 5 * nspb])
+        assert not np.any(got[:, 5 * nspb :])
+
+    def test_midblock_cut_keeps_whole_blocks(self, stream):
+        from aad_tpu import FILE_HEADER_SIZE
+
+        header, whole = decode(stream, engine="scan")
+        bs = header.block_size
+        nspb = header.num_samples_per_block
+        # cut inside block 3's data region but past its block header: the
+        # partial block decodes with the missing bytes as zero codes, so
+        # only the first 3 whole blocks are asserted sample-exact
+        cut = FILE_HEADER_SIZE + 3 * bs + 40
+        _, got = decode(stream[:cut], engine="scan", strict=False)
+        np.testing.assert_array_equal(got[:, : 3 * nspb], whole[:, : 3 * nspb])
+
+    def test_subheader_fragment_dropped(self, stream):
+        from aad_tpu import FILE_HEADER_SIZE
+
+        header, whole = decode(stream, engine="scan")
+        bs = header.block_size
+        nspb = header.num_samples_per_block
+        # 10 bytes < the 36-byte stereo block header: fragment is dropped
+        cut = FILE_HEADER_SIZE + 2 * bs + 10
+        _, got = decode(stream[:cut], engine="scan", strict=False)
+        np.testing.assert_array_equal(got[:, : 2 * nspb], whole[:, : 2 * nspb])
+        assert not np.any(got[:, 2 * nspb :])
+
+    def test_full_stream_unaffected(self, stream):
+        _, want = decode(stream, engine="scan")
+        _, got = decode(stream, engine="scan", strict=False)
+        np.testing.assert_array_equal(got, want)
+
+    def test_native_engine_rejects_lenient_truncation(self, stream):
+        from aad_tpu.codec.result import InvalidArgumentError
+
+        with pytest.raises(InvalidArgumentError):
+            decode(stream[:-100], engine="native", strict=False)

@@ -110,6 +110,20 @@ class TestQuality:
         assert all(c["ok"] for c in report["checks"])
 
 
+def test_main_module_entry():
+    """``python -m aad_tpu`` reaches the CLI (regression: ADVICE round 2)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    r = subprocess.run(
+        [sys.executable, "-m", "aad_tpu", "-v"],
+        capture_output=True, text=True, cwd=repo, timeout=120,
+    )
+    assert r.returncode == 0 and "Version" in r.stdout
+
+
 class TestFileIO:
     def test_encode_decode_file(self, tmp_path, fixture_dir):
         from aad_tpu.io import decode_file, encode_file
