@@ -250,18 +250,24 @@ def encode_streams_sharded(
     bits_per_sample: int,
     num_trials: int,
     mesh: Mesh,
+    stat: bool = False,
 ):
     """Encode a batch of independent streams, sharded over every mesh axis.
 
     Args:
       blocks: (S, B, C, nspb) zero-padded per-stream block tensors
         (MS already applied); valid: (S, B) per-block sample counts.
+      stat: opt into the mesh-global quality statistic. It costs a full
+        decode of every emitted block on every call (roughly doubling the
+        encode), so the default is off — throughput callers get pure
+        encode speed; QA callers pass ``stat=True``.
     Returns:
-      (headers, codes) with a leading sharded stream axis, plus the
-      mesh-global full-scale-normalised reconstruction RMSE (each shard
-      decodes its own emitted codes back and the squared error is psum'd —
-      the same statistic as the reference CLI's -c mode, reference:
-      src/main.c:441-503, computed across the whole mesh).
+      (headers, codes) with a leading sharded stream axis, plus — with
+      ``stat=True`` — the mesh-global full-scale-normalised reconstruction
+      RMSE (each shard decodes its own emitted codes back and the squared
+      error is psum'd — the same statistic as the reference CLI's -c mode,
+      reference: src/main.c:441-503, computed across the whole mesh).
+      With ``stat=False`` the third element is None.
     """
     from ..ops.decode import _decode_blocks_impl
     from ..ops.encode import encode_stream_blocks
@@ -272,17 +278,21 @@ def encode_streams_sharded(
     valid, _ = _pad_axis0(valid, total)
     nspb = blocks.shape[-1]
 
+    out_specs = (spec, spec, P()) if stat else (spec, spec)
+
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(spec, spec),
-        out_specs=(spec, spec, P()),
+        out_specs=out_specs,
         check_vma=False,
     )
     def _local(bl, va):
         headers, codes = jax.vmap(
             lambda b, v: encode_stream_blocks(b, v, bits_per_sample, num_trials)
         )(bl, va)
+        if not stat:
+            return headers, codes
         # Global quality telemetry: decode the emitted codes back with the
         # emitted headers (block self-containedness makes this exact) and
         # psum the squared reconstruction error over the whole mesh.
@@ -307,6 +317,8 @@ def encode_streams_sharded(
         gcnt = jax.lax.psum(local_cnt, ("dp", "sp"))
         return headers, codes, jnp.sqrt(gsse / jnp.maximum(gcnt, 1.0))
 
-    headers, codes, stat = jax.jit(_local)(blocks, valid)
+    out = jax.jit(_local)(blocks, valid)
+    headers, codes = out[0], out[1]
+    quality = out[2] if stat else None
     trim = lambda x: x[:S]
-    return jax.tree.map(trim, headers), codes[:S], stat
+    return jax.tree.map(trim, headers), codes[:S], quality

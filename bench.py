@@ -218,6 +218,16 @@ def main() -> None:
         extra["encode_single_stream_vs_baseline"] = round(
             single_value / enc_baseline, 2
         )
+    single_tpu = measure_encode_single_stream_tpu()
+    if single_tpu:
+        extra["encode_single_stream_tpu_samples_per_sec"] = round(single_tpu)
+        extra["encode_single_stream_tpu_vs_baseline"] = round(
+            single_tpu / enc_baseline, 2
+        )
+    e2e = measure_decode_e2e(data, header)
+    if e2e:
+        extra["decode_e2e_samples_per_sec"] = round(e2e)
+        extra["decode_e2e_vs_baseline"] = round(e2e / baseline, 2)
     par_value = measure_encode_parallel()
     if par_value:
         extra["encode_parallel_samples_per_sec"] = round(par_value)
@@ -360,6 +370,69 @@ def measure_encode_parallel():
         float(tok)
         dt = (time.time() - t0) / (iters + 1)
         return total / dt
+    except Exception:
+        return 0
+
+
+def measure_decode_e2e(data: bytes, header):
+    """Transfer-inclusive decode metric (VERDICT round 2, item 8).
+
+    Wall time for ``bytes in -> int16 PCM out`` through the public
+    ``Decoder.decode_payload_ondevice`` path: host wire-word view, payload
+    upload, the fused device pipeline, sample download and the host int16
+    view — the number a caller of ``aad_tpu.decode()`` actually gets,
+    unlike the headline metric's device-resident loop. Returns samples/s;
+    0 on failure.
+    """
+    try:
+        from aad_tpu import FILE_HEADER_SIZE, decode_header
+        from aad_tpu.codec.decoder import Decoder
+
+        dec = Decoder.from_header(decode_header(data[:FILE_HEADER_SIZE]))
+        payload = np.frombuffer(data, dtype=np.uint8)[FILE_HEADER_SIZE:]
+        samples = header.num_samples * header.num_channels
+        out = dec.decode_payload_ondevice(payload)  # warm/compile
+        assert out.shape == (header.num_channels, header.num_samples)
+        best = 0.0
+        for _ in range(3):
+            t0 = time.time()
+            out = dec.decode_payload_ondevice(payload)
+            _ = out[0, -1], out[-1, 0]  # touch the host view
+            best = max(best, samples / (time.time() - t0))
+        return best
+    except Exception:
+        return 0
+
+
+def measure_encode_single_stream_tpu():
+    """TPU-engine single-stream encode latency (VERDICT round 2, item 5).
+
+    The same workload as measure_encode_single_stream but with the engine
+    FORCED to the TPU Pallas path — the hybrid auto metric routes a lone
+    sequential stream to the native host engine (the serial per-sample
+    chain is latency-bound on the VPU, docs/DESIGN.md §3), so this records
+    what the TPU itself sustains. Returns samples/s; 0 on failure (e.g. no
+    TPU: the kernel path is TPU-only in production).
+    """
+    try:
+        import jax
+
+        if jax.devices()[0].platform != "tpu":
+            return 0
+        from aad_tpu.codec.encoder import EncodeConfig, encode
+
+        cfg = EncodeConfig(num_channels=NCH, sampling_rate=RATE)
+        n = RATE * 30
+        t = np.arange(n) / RATE
+        sig = (0.4 * 32767 * np.sin(2 * np.pi * 440 * t)).astype(np.int32)
+        pcm = np.stack([sig, np.roll(sig, 11)])
+        encode(pcm, cfg, engine="pallas")  # warm
+        best = 0.0
+        for _ in range(3):
+            t0 = time.time()
+            encode(pcm, cfg, engine="pallas")
+            best = max(best, n * NCH / (time.time() - t0))
+        return best
     except Exception:
         return 0
 

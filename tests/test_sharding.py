@@ -60,6 +60,7 @@ class TestShardedEncode:
         headers, codes, stat = encode_streams_sharded(
             blocks, valid, bits_per_sample=4, num_trials=1, mesh=mesh
         )
+        assert stat is None  # quality stat is opt-in (stat=True)
         for s in range(S):
             h_ref, c_ref = encode_stream_blocks(blocks[s], valid[s], 4, 1)
             np.testing.assert_array_equal(np.asarray(codes[s]), np.asarray(c_ref))
@@ -69,7 +70,6 @@ class TestShardedEncode:
             np.testing.assert_array_equal(
                 np.asarray(headers.weight[s]), np.asarray(h_ref.weight)
             )
-        assert np.isfinite(float(stat))
 
 
 MESH_SHAPES = [(8, 1), (4, 2), (2, 4), (1, 8)]
@@ -109,7 +109,8 @@ class TestMeshShapes:
         valid[:, -1] = 41
         valid = jnp.asarray(valid)
         headers, codes, stat = encode_streams_sharded(
-            blocks, valid, bits_per_sample=4, num_trials=1, mesh=shaped_mesh
+            blocks, valid, bits_per_sample=4, num_trials=1, mesh=shaped_mesh,
+            stat=True,
         )
         for s in range(S):
             h_ref, c_ref = encode_stream_blocks(blocks[s], valid[s], 4, 1)
@@ -136,7 +137,7 @@ def test_quality_stat_is_reconstruction_rmse():
     )
     valid = jnp.full((S, B), nspb, dtype=jnp.int32)
     headers, codes, stat = encode_streams_sharded(
-        blocks, valid, bits_per_sample=4, num_trials=0, mesh=mesh
+        blocks, valid, bits_per_sample=4, num_trials=0, mesh=mesh, stat=True
     )
     recon = db(
         np.asarray(codes).astype(np.uint8),
