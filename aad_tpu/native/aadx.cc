@@ -258,14 +258,22 @@ void ms_transform(std::vector<int32_t>& a, std::vector<int32_t>& b,
 
 // Trial-measure pass: seed from the first 4 samples, encode [4, n), return
 // the summed squared quantisation error. State advances in place.
-uint64_t measure(Lms* s, const int32_t* x, uint32_t n, uint32_t bps) {
+//
+// The accumulated term is the WRAPPED int32 product, matching the reference
+// exactly: it multiplies two int32 quantize_error fields before the double
+// add (reference: src/aad_encoder.c:459-461), so qdiff^2 >= 2^31 enters the
+// accumulator as a negative value and the sum itself may go negative.
+// (Compiled with -fwrapv, the int32 product wraps defined.) Each wrapped
+// term has magnitude < 2^31 and n < 2^22, so the reference's double adds
+// are exact and the int64 sum reproduces its accumulator bit-for-bit.
+int64_t measure(Lms* s, const int32_t* x, uint32_t n, uint32_t bps) {
   if (n < kFilterOrder) return 0;  // also: no state change
   s->seed(x, n);
-  uint64_t sse = 0;
+  int64_t sse = 0;
   for (uint32_t t = kFilterOrder; t < n; ++t) {
     int32_t q;
     s->encode(x[t], bps, &q);
-    sse += uint64_t(int64_t(q) * q);
+    sse += int64_t(int32_t(q * q));  // wrapped product, sign-extended
   }
   return sse;
 }
@@ -449,15 +457,18 @@ int aadx_encode(const int32_t* pcm, uint32_t num_channels,
       for (uint32_t ch = 0; ch < num_channels; ++ch) {
         Lms best = state[ch];
         Lms probe = state[ch];
-        uint64_t best_sse = measure(&probe, cur[ch].data(), n, bits_per_sample);
+        int64_t best_sse = measure(&probe, cur[ch].data(), n, bits_per_sample);
         Lms walker = state[ch];
         for (uint32_t trial = 0; trial < num_encode_trials; ++trial) {
           if (has_prev)
             measure(&walker, prev[ch].data(), nspb, bits_per_sample);
           const Lms candidate = walker;
-          const uint64_t sse =
+          const int64_t sse =
               measure(&walker, cur[ch].data(), n, bits_per_sample);
-          if (sse < best_sse) {
+          // The reference compares sqrt(sse/n) doubles: a negative sum is
+          // sqrt(NaN) and every NaN comparison is false, so adoption needs
+          // both sums non-negative and the candidate strictly smaller.
+          if (sse >= 0 && best_sse >= 0 && sse < best_sse) {
             best_sse = sse;
             best = candidate;
           }

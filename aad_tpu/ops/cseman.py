@@ -68,11 +68,19 @@ def sign_extend16(x: Array) -> Array:
     return jnp.where(x >= i32(0x8000), x - i32(0x10000), x)
 
 
-# --- 64-bit unsigned accumulation as two uint32 limbs ----------------------
-# Trial-search RMSE selection needs exact sums of squared quantisation errors
-# (up to ~1e13). Rather than relying on x64 mode, accumulate as (hi, lo)
-# uint32 limbs; comparisons are lexicographic. See codec/encoder.py for why
-# integer comparison reproduces the reference's double comparison exactly.
+# --- 64-bit signed accumulation as two uint32 limbs ------------------------
+# Trial-search selection must reproduce the reference's accumulator EXACTLY:
+# ``sum_squared_error += processor->quantize_error * processor->quantize_error``
+# multiplies two int32s (reference: src/aad_encoder.c:459-461), so the product
+# WRAPS into a negative int32 whenever qdiff^2 >= 2^31 (|qdiff| > 46340 —
+# reachable whenever the step size is near its table maximum: max qdiff is
+# 61438 at 4 bps). The wrapped signed value is what enters the double
+# accumulator, so the sum may go negative — then sqrt(sse/n) is NaN and every
+# ``min_rmse > tmp_rmse`` comparison involving it is false. Each wrapped term
+# has magnitude < 2^31 and block counts keep |sum| < 2^53, so the double adds
+# are exact and selection reduces to exact signed-integer comparison with the
+# NaN rule (see ops/encode.py module docstring). Accumulate as (hi, lo)
+# uint32 limbs of the two's-complement i64 sum.
 
 _U32 = jnp.uint32
 
@@ -82,28 +90,47 @@ def u64_zero(shape=()) -> tuple[Array, Array]:
     return z, z
 
 
-def u64_add_u32(acc: tuple[Array, Array], value: Array) -> tuple[Array, Array]:
-    """acc += value, where value is a non-negative int32/uint32."""
+def wrapped_square(x: Array) -> Array:
+    """(int32)(x * x): the reference's wrapping product, as int32."""
+    return x.astype(_I32) * x.astype(_I32)
+
+
+def s64_add_i32(acc: tuple[Array, Array], value: Array) -> tuple[Array, Array]:
+    """acc += value with sign extension (value: int32, acc: i64 limb pair).
+
+    The sign extension is derived from the MSB via an unsigned shift, NOT a
+    ``value < 0`` compare: XLA's algebraic simplifier folds ``(x*x) < 0`` to
+    false — unsound for the wrapping int32 squares this accumulates (jit
+    and eager disagree; verified on the CPU backend) — while shifts of the
+    same product lower correctly."""
     hi, lo = acc
-    v = value.astype(_U32)
+    v = lax.bitcast_convert_type(value.astype(_I32), _U32)
     new_lo = lo + v
     carry = (new_lo < lo).astype(_U32)
-    return hi + carry, new_lo
+    ext = _U32(0) - (v >> 31)  # 0 or 0xFFFFFFFF
+    return hi + carry + ext, new_lo
 
 
-def square_u32(x: Array) -> Array:
-    """Exact x*x as uint32 for |x| < 2**16.
+def s64_nonneg(a: tuple[Array, Array]) -> Array:
+    """a >= 0 for an i64 limb pair."""
+    return lax.bitcast_convert_type(a[0], _I32) >= 0
 
-    The int32 product may wrap negative; bitcasting recovers the true value
-    mod 2**32, which equals the true square when it fits in 32 bits.
+
+def s64_less(a: tuple[Array, Array], b: tuple[Array, Array]) -> Array:
+    """a < b as signed i64 limb pairs."""
+    ahi = lax.bitcast_convert_type(a[0], _I32)
+    bhi = lax.bitcast_convert_type(b[0], _I32)
+    return (ahi < bhi) | ((ahi == bhi) & (a[1] < b[1]))
+
+
+def sse_better(cand: tuple[Array, Array], best: tuple[Array, Array]) -> Array:
+    """The reference's ``min_rmse > tmp_rmse`` in exact integer form.
+
+    True iff sqrt(best/n) > sqrt(cand/n) in IEEE double: both sums
+    non-negative (a negative sum means sqrt(NaN), and every comparison with
+    NaN is false) and cand strictly smaller.
     """
-    sq = x.astype(_I32) * x.astype(_I32)
-    return lax.bitcast_convert_type(sq, _U32)
-
-
-def u64_less(a: tuple[Array, Array], b: tuple[Array, Array]) -> Array:
-    """a < b lexicographically."""
-    return (a[0] < b[0]) | ((a[0] == b[0]) & (a[1] < b[1]))
+    return s64_nonneg(cand) & s64_nonneg(best) & s64_less(cand, best)
 
 
 def u64_select(pred: Array, a: tuple[Array, Array], b: tuple[Array, Array]):

@@ -8,17 +8,22 @@ src/aad_encoder.c:870, 502-512). The TPU design therefore:
   :class:`CodecState`),
 * vectorises everything *inside* a block over channels (and, at the API
   layer, over independent streams via ``vmap`` — see parallel/),
-* selects trial-search winners by exact integer comparison of summed squared
-  quantisation errors, which provably reproduces the reference's double-
-  precision RMSE comparison (see note below).
+* selects trial-search winners by exact integer comparison of summed
+  *wrapped* squared quantisation errors, which provably reproduces the
+  reference's double-precision RMSE comparison (see note below).
 
 RMSE-comparison exactness: the reference compares
 ``sqrt(sse_a / n) > sqrt(sse_b / n)`` in IEEE double (reference:
-src/aad_encoder.c:465,552). Both sums are integers < 2**44 (exact in double),
-divided by the same n; relative spacing of distinct sums is >= ~8.7e-14, far
-above double epsilon, and sqrt is monotone & correctly rounded — so the
-double comparison decides exactly like ``sse_a > sse_b`` on integers. We
-accumulate sse as two uint32 limbs to stay in native 32-bit lanes.
+src/aad_encoder.c:465,552) — but each accumulator term is the product of two
+**int32** ``quantize_error`` fields (src/aad_encoder.c:459-461), which WRAPS
+whenever qdiff**2 >= 2**31 (|qdiff| > 46340, reachable at max step size), so
+the double sum is of wrapped signed int32 terms and can go negative (then
+sqrt yields NaN and every comparison with it is false). Each wrapped term
+has magnitude < 2**31 and n < 2**22, so the double adds are exact; division
+by the shared n is monotone and sqrt is monotone & correctly rounded — so
+the double comparison decides exactly like signed-integer comparison of the
+wrapped sums with the NaN rule (``cseman.sse_better``). We accumulate sse as
+two uint32 limbs (a two's-complement i64) to stay in native 32-bit lanes.
 """
 
 from __future__ import annotations
@@ -88,8 +93,8 @@ def _encode_span(
         new_st, code, qdiff = encode_sample(st, sample, bits_per_sample)
         active = t < (valid - FILTER_ORDER)
         st2 = _select_state(jnp.broadcast_to(active, lane_shape), new_st, st)
-        contrib = jnp.where(active, cs.square_u32(qdiff), jnp.uint32(0))
-        return (st2, cs.u64_add_u32(sse, contrib)), code
+        contrib = jnp.where(active, cs.wrapped_square(qdiff), jnp.int32(0))
+        return (st2, cs.s64_add_i32(sse, contrib)), code
 
     init = (state, cs.u64_zero(lane_shape))
     (final_state, sse), codes_t = lax.scan(step, init, (samples_t, steps))
@@ -170,7 +175,7 @@ def search_best_state(
             )
         candidate = tmp
         tmp, sse = measure_block(tmp, cur_block, valid, bits_per_sample, engine)
-        better = cs.u64_less(sse, min_sse)
+        better = cs.sse_better(sse, min_sse)
         best = _select_state(better, candidate, best)
         min_sse = cs.u64_select(better, sse, min_sse)
 
@@ -427,7 +432,7 @@ def encode_stream_blocks_pallas(
                     )
                 candidate = tmp
                 tmp, sse = measure(tmp, cur_tm, cur_head, v)
-                better = cs.u64_less(sse, min_sse)
+                better = cs.sse_better(sse, min_sse)
                 best = _select_state(better, candidate, best)
                 min_sse = cs.u64_select(better, sse, min_sse)
             state = best

@@ -163,13 +163,20 @@ def _make_kernel(bits_per_sample: int, corrections, emit_codes: bool):
             nw2 = w2 + ((qdiff * h2 + half) >> wshift)
             nw3 = w3 + ((qdiff * h3 + half) >> wshift)
 
-            # sse += qdiff**2 as two u32 limbs (int32 registers; the biased
-            # xor turns signed compares into unsigned carry detection)
-            sq = qdiff * qdiff  # exact mod 2^32
+            # sse += (int32)(qdiff*qdiff) as i64 limbs (int32 registers; the
+            # biased xor turns signed compares into unsigned carry
+            # detection). The term is the WRAPPED int32 product — the
+            # reference multiplies two int32s before the double add
+            # (src/aad_encoder.c:459-461), so qdiff^2 >= 2^31 enters the
+            # accumulator as a negative value; hi takes the sign extension.
+            sq = qdiff * qdiff  # wraps exactly like the reference's product
             nsl = sl + sq
             usl = sl ^ jnp.int32(-2147483648)
             unsl = nsl ^ jnp.int32(-2147483648)
-            nsh = sh + (unsl < usl).astype(jnp.int32)
+            # sign extension via arithmetic shift — a ``sq < 0`` compare
+            # is folded to false by XLA ((x*x) < 0 simplification, unsound
+            # under int32 wrap); the shift lowers correctly
+            nsh = sh + (unsl < usl).astype(jnp.int32) + (sq >> 31)
 
             code = jnp.where(neg, mag | signbit, mag)
             live = gt < valid_codes

@@ -282,11 +282,17 @@ def _make_kernel(
                     _code, qdiff, st2 = sample_step(sample, st)
                     live = live_mask_fn(gt)
                     st = tuple(jnp.where(live, a, b) for a, b in zip(st2, st))
-                    sq = qdiff * qdiff
-                    nsl = sl + jnp.where(live, sq, 0)
+                    # the reference's accumulator term is the WRAPPED
+                    # int32 product (src/aad_encoder.c:459-461): qdiff^2
+                    # >= 2^31 enters negative; hi takes the sign extension
+                    sq = jnp.where(live, qdiff * qdiff, 0)
+                    nsl = sl + sq
                     usl = sl ^ jnp.int32(-2147483648)
                     unsl = nsl ^ jnp.int32(-2147483648)
-                    sh = sh + (unsl < usl).astype(jnp.int32)
+                    # sign extension via arithmetic shift — a ``sq < 0``
+                    # compare is folded to false by XLA ((x*x) < 0
+                    # simplification, unsound under int32 wrap)
+                    sh = sh + (unsl < usl).astype(jnp.int32) + (sq >> 31)
                     sl = nsl
                 return (*st, sh, sl)
 
@@ -294,10 +300,16 @@ def _make_kernel(
             out = stream_words(words_ref, bi, body, (*st, zero, zero))
             return out[:9], (out[9], out[10])
 
-        def u64_less(a, b):
+        def sse_better(cand, best):
+            # the reference's ``min_rmse > tmp_rmse`` exactly: the wrapped
+            # accumulator can go negative, where sqrt gives NaN and every
+            # comparison is false — so both sums must be non-negative and
+            # the candidate strictly smaller (signed i64 limb compare;
+            # hi limbs are plain int32, lo compares need the unsigned bias)
             bias = jnp.int32(-2147483648)
-            ah, al, bh, bl = a[0] ^ bias, a[1] ^ bias, b[0] ^ bias, b[1] ^ bias
-            return (ah < bh) | ((ah == bh) & (al < bl))
+            ch, cl, bh, bl = cand[0], cand[1], best[0], best[1]
+            less = (ch < bh) | ((ch == bh) & ((cl ^ bias) < (bl ^ bias)))
+            return (ch >= 0) & (bh >= 0) & less
 
         st = tuple(state[k] for k in range(9))
         valid = valid_ref[0, 0, 0]
@@ -322,7 +334,7 @@ def _make_kernel(
                     jnp.where(skip, c, w) for c, w in zip(candidate, walker)
                 )
                 sse = (jnp.where(skip, 0, sse[0]), jnp.where(skip, 0, sse[1]))
-                better = u64_less(sse, min_sse)
+                better = sse_better(sse, min_sse)
                 best = tuple(
                     jnp.where(better, c, bst) for c, bst in zip(candidate, best)
                 )
@@ -359,7 +371,7 @@ def _make_kernel(
                 skip = valid < FILTER_ORDER
                 walker = tuple(jnp.where(skip, c, w) for c, w in zip(candidate, walker))
                 sse = (jnp.where(skip, 0, sse[0]), jnp.where(skip, 0, sse[1]))
-                better = u64_less(sse, min_sse)
+                better = sse_better(sse, min_sse)
                 best = tuple(jnp.where(better, c, bst) for c, bst in zip(candidate, best))
                 min_sse = (
                     jnp.where(better, sse[0], min_sse[0]),

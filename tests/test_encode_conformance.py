@@ -92,6 +92,58 @@ class TestByteExactVsReference:
         assert ours == ref
 
 
+class TestWrappedSquareTrialSSE:
+    """Regression: the reference's trial-search accumulator multiplies two
+    int32 quantize_error fields (reference: src/aad_encoder.c:459-461), so
+    qdiff^2 >= 2^31 WRAPS into a negative term and the double sum can go
+    negative (sqrt -> NaN -> comparisons false). Full-scale noise reaches
+    that regime through the trial measure passes; an exact-square
+    accumulator diverges from the reference (found by the geometry fuzz's
+    reference-binary oracle, round 3)."""
+
+    def test_fullscale_noise_odd_geometry_vs_reference(
+        self, reference_cli, tmp_path
+    ):
+        rng = np.random.default_rng(7)
+        pcm = rng.integers(-32768, 32768, (2, 1571)).astype(np.int32)
+        wav = tmp_path / "wrap.wav"
+        write_pcm16_wav(wav, pcm, 8000)
+        ref = reference_encode(
+            reference_cli, wav, tmp_path / "wrap.aad", bps=3, block=561,
+            trials=2,
+        )
+        ours = _our_encode(pcm, 8000, 3, 561, trials=2, ms=False)
+        assert ours == ref
+
+    def test_sse_limb_math_matches_reference_semantics(self):
+        """ops.cseman's i64 limb accumulator == the C double accumulator."""
+        import jax.numpy as jnp
+
+        from aad_tpu.ops import cseman as cs
+
+        def wrap32(v):
+            return (v + 2**31) % 2**32 - 2**31
+
+        rng = np.random.default_rng(3)
+        qdiffs = [int(q) for q in rng.integers(-61438, 61439, 500)]
+        acc = cs.u64_zero(())
+        want = 0
+        for q in qdiffs:
+            acc = cs.s64_add_i32(acc, cs.wrapped_square(jnp.int32(q)))
+            want += wrap32(q * q)
+        got = (int(acc[0]) << 32) | int(acc[1])
+        got = got - (1 << 64) if got >= (1 << 63) else got
+        assert got == want
+        # wrap actually occurred in this draw (the regression's whole point)
+        assert any(wrap32(q * q) < 0 for q in qdiffs)
+        # selection rule: NaN (negative sum) never wins and never loses
+        neg = cs.s64_add_i32(cs.u64_zero(()), jnp.int32(-5))
+        pos = cs.s64_add_i32(cs.u64_zero(()), jnp.int32(5))
+        assert not bool(cs.sse_better(neg, pos))
+        assert not bool(cs.sse_better(pos, neg))
+        assert bool(cs.sse_better(cs.u64_zero(()), pos))
+
+
 class TestGoldenFixtureEncode:
     def test_mono_fixture_default_params(self, fixture_dir):
         """Default-parameter encode of the mono fixture == checked-in golden."""

@@ -183,18 +183,27 @@ class TestTruncationRobustness:
 
 
 class TestGeometryFuzz:
-    """Differential fuzz over random geometries (odd block sizes included).
+    """Differential fuzz over random geometries (odd block sizes included),
+    with the **reference binary as the oracle**.
 
     The reference grids only exercise {128, 256, 1024, 4096}-byte blocks;
     random max_block_size values stress the LCM interleave-unit geometry
-    math (reference: src/aad_encoder.c:85-131) through every layer: scan
-    encoder == native encoder byte-exact, and both decoders round-trip.
+    math (reference: src/aad_encoder.c:85-131) through every layer. Each
+    seed's random PCM is written to WAV and run through the reference CLI
+    at the same (bps, block, ms, trials): our encoders must match its
+    bytes and our decoders its decoded WAV — so a shared misreading of the
+    interleave math between the scan and native engines cannot pass.
     """
 
     @pytest.mark.parametrize("seed", range(6))
-    def test_random_geometry_differential(self, seed):
+    def test_random_geometry_differential(
+        self, seed, reference_cli, tmp_path
+    ):
+        from util import reference_decode, reference_encode, write_pcm16_wav
+
         from aad_tpu.codec.decoder import decode
         from aad_tpu.codec.encoder import EncodeConfig, encode
+        from aad_tpu.format.wav import read_wav
 
         rng = np.random.default_rng(1000 + seed)
         nch = int(rng.integers(1, 3))
@@ -217,10 +226,25 @@ class TestGeometryFuzz:
         b = native.encode(pcm, cfg)
         assert a == b, f"geometry {cfg} diverged"
 
+        # the reference binary on the same input and knobs
+        wav = tmp_path / "fuzz.wav"
+        write_pcm16_wav(wav, pcm, 8000)
+        ref = reference_encode(
+            reference_cli, wav, tmp_path / "fuzz.aad", bps=bps, block=mbs,
+            trials=cfg.num_encode_trials, ms=cfg.ch_process_method == 1,
+        )
+        assert a == ref, f"geometry {cfg} diverged from the reference binary"
+
         _, dj = decode(a)
         _, dn = native.decode(a)
         np.testing.assert_array_equal(np.asarray(dj), np.asarray(dn))
         assert dj.shape == (nch, n)
+
+        ref_wav = reference_decode(
+            reference_cli, tmp_path / "fuzz.aad", tmp_path / "fuzz_dec.wav"
+        )
+        _, ref_pcm = read_wav(str(ref_wav))
+        np.testing.assert_array_equal(np.asarray(dj), ref_pcm >> 16)
 
     @pytest.mark.parametrize("seed", range(3))
     def test_random_geometry_parallel_mode(self, seed):
