@@ -346,6 +346,10 @@ class Decoder:
                 # The time-major kernel entry wants C*B to be a whole number
                 # of (8, 128) lane tiles; padding blocks decode garbage that
                 # is sliced away (the kernel pads internally regardless).
+                # (Even tile counts additionally engage the kernel's R=2
+                # lane interleave — but measured full-pipeline throughput is
+                # tile-count-sensitive in XLA's surrounding glue, so the pad
+                # stays minimal rather than forcing parity.)
                 lane_mult = max(1, 1024 // geo.num_channels)
                 nb_padded = -(-nb_padded // lane_mult) * lane_mult
             words = payload_to_words(payload, geo, nb_padded)
