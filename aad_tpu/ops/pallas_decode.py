@@ -442,31 +442,53 @@ def _decode_words_tm_impl(
     W, L = words_tm.shape
     if L % TILE:
         raise ValueError(f"lane count {L} must be a multiple of {TILE}")
-    w_chunk = _pick_w_chunk(W)
+    n_tiles = L // TILE
+    r = _pick_r(n_tiles)
+    w_chunk = _pick_w_chunk(W, r)
     Wp = -(-W // w_chunk) * w_chunk
     if Wp != W:
         words_tm = jnp.pad(words_tm, ((0, Wp - W), (0, 0)))
-    n_tiles = L // TILE
     words_t = words_tm.reshape(Wp, n_tiles, SUBLANES, LANES)
     ii = step_index.reshape(L).astype(jnp.int32)
     return _decode_tiled(
         words_t, ii, history.reshape(L, 4), weight.reshape(L, 4),
         T, bits_per_sample, corrections, with_head=with_head,
-        as_int16=True, packed_out=packed_out, w_chunk=w_chunk,
+        as_int16=True, packed_out=packed_out, w_chunk=w_chunk, r=r,
     )
 
 
-def _pick_w_chunk(W: int) -> int:
-    """Largest divisor of W in [8, 64], else the default W_CHUNK.
+def _pick_r(n_tiles: int) -> int:
+    """Lane-interleave factor: largest of {4, 3, 2} dividing the tile count.
+
+    The decode chain is dependent-op latency-bound (probe, round 3):
+    folding r lane tiles onto the sublane axis gives the scheduler r
+    independent chains. Measured full-pipeline at 57.6 M samples: 57 tiles
+    r=1 31.7 -> r=3 34.2 Gsamples/s; 58 tiles r=1 25.1 -> r=2 27.1; r=8
+    regressed. AAD_TPU_DECODE_R overrides for probing.
+    """
+    import os
+
+    r_env = os.environ.get("AAD_TPU_DECODE_R")
+    if r_env and n_tiles % int(r_env) == 0:
+        return int(r_env)
+    for r in (4, 3, 2):
+        if n_tiles % r == 0:
+            return r
+    return 1
+
+
+def _pick_w_chunk(W: int, r: int = 1) -> int:
+    """Largest divisor of W in [8, 384//r], else the default W_CHUNK.
 
     A divisor chunk means zero word padding: for exact-fit geometries
     (wire32.data_words_padded) the kernel's head-integrated output then has
     no pad rows at all and the caller's sample slice is a no-op — one whole
-    output pass saved. VMEM stays bounded with the R=2 lane interleave
-    (<= 64-word input block + 256-row output block at 16 sublanes,
-    double-buffered ~= 5 MB); the probe measured w_chunk 32 and 62 equal.
+    output pass saved. The cap keeps r*w_chunk <= 384 so the double-
+    buffered in+out blocks stay inside VMEM at every interleave factor
+    (~15 MB at r=3, w_chunk=124 — measured fitting).
     """
-    for c in range(min(W, 128), 7, -1):
+    cap = max(8, 384 // max(r, 1))
+    for c in range(min(W, cap), 7, -1):
         if W % c == 0:
             return c
     return W_CHUNK
@@ -474,27 +496,22 @@ def _pick_w_chunk(W: int) -> int:
 
 def _decode_tiled(
     words_t, ii, h, w, T, bits_per_sample, corrections, with_head=False,
-    as_int16=False, packed_out=False, w_chunk=W_CHUNK,
+    as_int16=False, packed_out=False, w_chunk=W_CHUNK, r=None,
 ):
     """Shared kernel launch: (Wp, tiles, 8, 128) words + (Lp,...) states.
 
-    Lane interleave: R=2 adjacent lane tiles fold onto the sublane axis as
-    one (16, 128) working set per grid step — the decode chain is
+    Lane interleave: r adjacent lane tiles fold onto the sublane axis as
+    one (r*8, 128) working set per grid step — the decode chain is
     dependent-op *latency*-bound, not issue-bound (removing the whole
-    16-op weight update moved the kernel only 2.5%, probe round 3), so two
-    independent chains let the scheduler fill the bubbles. Measured on
-    v5e at 64 tiles x 128 words: R=1 1.11 ms, R=2 0.95 ms (1.17x,
-    bit-exact); R=4 equal to R=2, R=8 worse. The fold is a free reshape —
-    adjacent tiles are contiguous in every operand.
+    16-op weight update moved the kernel only 2.5%, probe round 3), so
+    independent chains let the scheduler fill the bubbles (see _pick_r
+    for the measured numbers). The fold is a free reshape — adjacent
+    tiles are contiguous in every operand.
     """
-    import os
-
     Wp, n_tiles = words_t.shape[0], words_t.shape[1]
     Lp = n_tiles * TILE
-    r = 2 if n_tiles % 2 == 0 else 1
-    r_env = os.environ.get("AAD_TPU_DECODE_R")
-    if r_env and n_tiles % int(r_env) == 0:
-        r = int(r_env)
+    if r is None:
+        r = _pick_r(n_tiles)
     ntR = n_tiles // r
     RS = r * SUBLANES
     words_t = words_t.reshape(Wp, ntR, RS, LANES)

@@ -84,8 +84,11 @@ MAX_INTERLEAVE = 4
 
 def _pick_interleave(num_lanes: int) -> int:
     """Largest R in [1, MAX_INTERLEAVE] without padding past the lane count."""
+    import os
+
+    cap = int(os.environ.get("AAD_TPU_ENCODE_R", MAX_INTERLEAVE))
     r = 1
-    while r < MAX_INTERLEAVE and r * TILE < num_lanes:
+    while r < cap and r * TILE < num_lanes:
         r *= 2
     return r
 

@@ -55,6 +55,32 @@ def test_fused_decode_kernel_matches_scan(bps):
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(scan))
 
 
+@pytest.mark.parametrize("n_tiles", [2, 3, 4])
+def test_fused_decode_lane_interleave_matches_scan(n_tiles):
+    """The r={2,3,4} lane-interleave folds (ops.pallas_decode._pick_r) are
+    bit-exact vs the scan engine at tile counts that trigger each fold —
+    the golden fixtures only span one tile, so the fold paths need their
+    own oracle check (they carry the chain state in (r*8, 128) registers)."""
+    from aad_tpu.ops.decode import _decode_blocks_impl
+    from aad_tpu.ops.pallas_decode import TILE, _pick_r, warm_fused_engine
+
+    warm_fused_engine()
+    assert _pick_r(n_tiles) == n_tiles  # the fold this case exercises
+    L, T = n_tiles * TILE, 24
+    codes = jnp.asarray(RNG.integers(0, 16, (L, T), dtype=np.uint8))
+    si = jnp.asarray(RNG.integers(0, 4081, (L,)).astype(np.int32))
+    wt = jnp.asarray(RNG.integers(-20000, 20000, (L, 4)).astype(np.int32))
+    hi = jnp.asarray(RNG.integers(-32768, 32768, (L, 4)).astype(np.int32))
+
+    fused = _decode_blocks_impl(
+        codes, si, wt, hi, bits_per_sample=4, engine="fused"
+    )
+    scan = _decode_blocks_impl(
+        codes, si, wt, hi, bits_per_sample=4, engine="scan"
+    )
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(scan))
+
+
 def test_lms_pallas_kernel_matches_scan():
     """lms_pallas (interpret) == lms_scan phase B."""
     from aad_tpu.ops.pallas_lms import lms_pallas
