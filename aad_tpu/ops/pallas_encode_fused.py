@@ -239,9 +239,27 @@ def _make_kernel(
             neg = diff < 0
             dabs = jnp.where(neg, -diff, diff)
             scaled = dabs << (bits_per_sample - 2)
-            mag = jnp.zeros_like(scaled)
-            for k in range(1, absmask + 1):
-                mag = mag + (scaled >= k * stepsize).astype(jnp.int32)
+            # quantise: min(scaled / stepsize, absmask). Two exact integer
+            # formulations (reference: src/aad_encoder.c:370-383 divides):
+            #  * threshold count sum_k [scaled >= k*stepsize] — 3 ops per
+            #    threshold but the compares are independent, so the
+            #    *critical path* is short (cmp + log-depth add tree);
+            #    best when the kernel is latency-bound (R == 1).
+            #  * binary search on the quotient bits — fewer total ops
+            #    (~14 vs ~21 at bps=4) but each stage depends on the last;
+            #    best when R >= 2 chains make the kernel issue-bound.
+            # Both clamp naturally (quotient >= 2^(bps-1) makes every
+            # compare true) and agree for stepsize == 0.
+            if r >= 2 and absmask >= 3:
+                t = stepsize << (bits_per_sample - 2)
+                mag = (scaled >= t).astype(jnp.int32)
+                for i in range(bits_per_sample - 3, -1, -1):
+                    t = (((mag << 1) + 1) << i) * stepsize
+                    mag = (mag << 1) + (scaled >= t).astype(jnp.int32)
+            else:
+                mag = jnp.zeros_like(scaled)
+                for k in range(1, absmask + 1):
+                    mag = mag + (scaled >= k * stepsize).astype(jnp.int32)
             qmag = (stepsize * ((mag << 1) + 1)) >> (bits_per_sample - 1)
             qdiff = jnp.where(neg, -qmag, qmag)
             idx2 = jnp.maximum(
@@ -580,7 +598,15 @@ def _fused_impl(
                 [w, x[..., off + T - 1 : off + T] & jnp.int32(0xFFFF)],
                 axis=-1,
             )
-        w = jnp.pad(w, ((0, 0), (0, Lp - L), (0, W2 - w.shape[-1])))
+        # pad the word tail by concatenating a zero block rather than
+        # jnp.pad: the pad lowered to a separate full-array copy pass
+        # (measured 0.95 -> 0.83 ms for the whole relayout at 32.4 M
+        # samples, benchmarks/probe_fused_relayout.py)
+        if w.shape[-1] < W2:
+            z = jnp.zeros((b_, L, W2 - w.shape[-1]), jnp.int32)
+            w = jnp.concatenate([w, z], axis=-1)
+        if Lp > L:
+            w = jnp.pad(w, ((0, 0), (0, Lp - L), (0, 0)))
         return w.reshape(b_, n_tiles, RS, LANES, W2).transpose(0, 4, 1, 2, 3)
 
     def lane_tiles(x, k):  # (b, L, k) -> (b, n_tiles, k, R*8, 128)

@@ -284,15 +284,20 @@ def measure_encode():
                 ms=False, engine=engine,
             )
 
-        @functools.partial(jax.jit, static_argnums=(2,))
+        @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
         def run(bl, tok, iters):
             # whole loop in ONE dispatch, chained through the token (the
             # same methodology as the decode metric: per-dispatch tunnel
             # cost would otherwise dominate and understate throughput).
+            # The input buffer is donated and the perturbed array itself is
+            # carried, so the per-iteration perturbation is an in-place
+            # 4-byte write — the previous keep-the-original formulation
+            # forced XLA to copy the full 130 MB input every iteration
+            # (~0.5 ms, ~10% of the measurement).
             def body(_, carry):
                 bl, out, tok = carry
-                bl2 = bl.at[0, 0, 0, 0].set(tok & 1)
-                out = pipeline(bl2)
+                bl = bl.at[0, 0, 0, 0].set(tok & 1)
+                out = pipeline(bl)
                 return (bl, out, out[0, 0, 0].astype(jnp.int32))
 
             out0 = pipeline(bl)
@@ -349,12 +354,15 @@ def measure_encode_parallel():
                 ms=False, engine=engine, parallel=True,
             )
 
-        @functools.partial(jax.jit, static_argnums=(2,))
+        @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
         def run(bl, tok, iters):
+            # donated input + carried perturbed array: in-place 4-byte
+            # write instead of a full 130 MB copy per iteration (see
+            # measure_encode).
             def body(_, carry):
                 bl, out, tok = carry
-                bl2 = bl.at[0, 0, 0].set(tok & 1)
-                out = pipeline(bl2)
+                bl = bl.at[0, 0, 0].set(tok & 1)
+                out = pipeline(bl)
                 return (bl, out, out[0, 0].astype(jnp.int32))
 
             out0 = pipeline(bl)

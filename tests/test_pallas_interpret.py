@@ -185,6 +185,36 @@ def test_encode_fused_streaming_large_block():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("lanes,r,trials", [(1536, 2, 1), (4096, 4, 0)])
+def test_encode_fused_lane_interleave_matches_scan(lanes, r, trials):
+    """The R={2,4} encode lane-interleave folds == scan engine, byte-level.
+
+    R >= 2 switches the quantiser to the binary-search formulation (the
+    issue-bound regime); every other interpret encode test runs few lanes
+    and so only covers R=1's threshold count. Exercises the trial search
+    (R=2) and the trial-free emit path (R=4)."""
+    from aad_tpu.ops.encode import encode_stream_blocks
+    from aad_tpu.ops.pallas_encode_fused import (
+        _pick_interleave,
+        encode_stream_fused,
+    )
+
+    assert _pick_interleave(lanes) == r
+    geo = compute_block_geometry(128, 1, 4)
+    nspb = geo.num_samples_per_block
+    B = 2
+    rng = np.random.default_rng(100 + r)
+    sig = rng.integers(-28000, 28000, B * lanes * nspb).astype(np.int32)
+    blocks = jnp.asarray(sig.reshape(B, lanes, nspb))
+    valid = jnp.asarray([nspb, nspb - 11], dtype=jnp.int32)
+
+    h_s, c_s = encode_stream_blocks(blocks, valid, 4, trials, engine="scan")
+    h_f, c_f, _ = encode_stream_fused(blocks, valid, 4, trials)
+    np.testing.assert_array_equal(np.asarray(c_s), np.asarray(c_f))
+    for a, b in zip(h_s, h_f):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize("per_pass", [False, True])
 def test_encode_kernel_matches_scan(per_pass):
     """Both Pallas encode kernels (interpret) == scan engine, byte-level.
