@@ -227,9 +227,13 @@ def _make_kernel(
         row_shift = 2 if with_head else 0
         n_loop = w_chunk - 1 if with_head else w_chunk
 
+        # The output buffer is uint32: the packed sample-pair words leave
+        # the kernel in their wire dtype so no XLA-side bitcast pass exists
+        # (a real 0.15 ms pass over the headline output otherwise). The
+        # .astype on a packed s32 word is a free in-register bitcast.
         if with_head:
-            out_ref[0, 0] = state[9]
-            out_ref[1, 0] = state[10]
+            out_ref[0, 0] = state[9].astype(jnp.uint32)
+            out_ref[1, 0] = state[10].astype(jnp.uint32)
 
         def word_step(wi, carry):
             word = words_ref[wi, 0]
@@ -241,7 +245,7 @@ def _make_kernel(
             for j in range(4):
                 out_ref[wi * 4 + j + row_shift, 0] = _pack_pair(
                     outs[2 * j], outs[2 * j + 1]
-                )
+                ).astype(jnp.uint32)
             return carry
 
         carry = tuple(state[k] for k in range(9))
@@ -254,8 +258,12 @@ def _make_kernel(
                 words_ref[w_chunk - 1, 0], carry,
                 bits_per_sample=bits_per_sample, corrections=corrections,
             )
-            out_ref[w_chunk * 4 - 2, 0] = _pack_pair(outs[0], outs[1])
-            out_ref[w_chunk * 4 - 1, 0] = _pack_pair(outs[2], outs[3])
+            out_ref[w_chunk * 4 - 2, 0] = _pack_pair(outs[0], outs[1]).astype(
+                jnp.uint32
+            )
+            out_ref[w_chunk * 4 - 1, 0] = _pack_pair(outs[2], outs[3]).astype(
+                jnp.uint32
+            )
             state[9] = _pack_pair(outs[4], outs[5])
             state[10] = _pack_pair(outs[6], outs[7])
         for k in range(9):
@@ -418,9 +426,13 @@ def decode_words_timemajor(
     count to keep per lane (nspb, or codes_per_block without head).
 
     With ``packed_out`` the result stays in the kernel's packed sample-pair
-    format: (L, num_out//2) uint32, two little-endian int16 samples per
-    word — **byte-identical** to the int16 sample array (a free host
+    format: two little-endian int16 samples per uint32 word —
+    **byte-identical** to the int16 sample array (a free host
     ``.view(int16)``), skipping the device-side unpack pass entirely.
+    Exact-fit geometries (no pad words) return the words **flat 1-D**
+    (row-major (L, num_out//2) order) so the detile transpose and the
+    flatten lower as one fused pass; padded geometries return the sliced
+    (L, num_out//2) 2-D array.
     """
     corrections = stepsize_corrections()
     return _decode_words_tm_impl(
@@ -544,7 +556,7 @@ def _decode_tiled(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (Wp * 4, ntR, RS, LANES), jnp.int32
+            (Wp * 4, ntR, RS, LANES), jnp.uint32
         ),
         scratch_shapes=[
             pltpu.VMEM((11 if with_head else 9, RS, LANES), jnp.int32)
@@ -557,10 +569,16 @@ def _decode_tiled(
 
     # (Wp*4, ntR, RS, 128) sample-pair words -> (Lp, 8*Wp) samples (the
     # R-fold is contiguous, so the flat lane order is unchanged)
-    packed = out.transpose(1, 2, 3, 0).reshape(Lp, Wp * 4)
     if packed_out:
         assert T % 2 == 0
-        return lax.bitcast_convert_type(packed[:, : T // 2], jnp.uint32)
+        if Wp * 4 == T // 2:
+            # Exact fit (divisor w_chunk, no pad rows): the kernel's u32
+            # output transposes and flattens with no dtype conversion —
+            # the s32->u32 bitcast used to cost a real 0.15 ms pass here
+            # (benchmarks/probe_perm_detile.py).
+            return out.reshape(Wp * 4, Lp).T.reshape(-1)
+        return out.transpose(1, 2, 3, 0).reshape(Lp, Wp * 4)[:, : T // 2]
+    packed = out.transpose(1, 2, 3, 0).reshape(Lp, Wp * 4)
     unpack = unpack_sample_words_i16 if as_int16 else unpack_sample_words
-    samples = unpack(lax.bitcast_convert_type(packed, jnp.uint32))[:, :T]
+    samples = unpack(packed)[:, :T]
     return samples

@@ -120,7 +120,7 @@ def main() -> None:
             bits_per_sample=header.bits_per_sample,
             with_head=True, packed_out=True,
         )
-        return w, out, out[0, -1].astype(jnp.int32)
+        return w, out, out.reshape(-1)[-1].astype(jnp.int32)
 
     def s_full(w, tok):
         w = tweak(w, tok)
