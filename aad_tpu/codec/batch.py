@@ -23,7 +23,7 @@ from ..constants import CH_PROCESS_MS, FILE_HEADER_SIZE
 from ..format.geometry import geometry_from_header, num_blocks_for
 from ..format.header import HeaderInfo, decode_header, validate_header
 from ..ops.decode import resolve_engine
-from ..ops.wire32 import payload_to_words, words_per_block
+from ..ops.wire32 import payload_to_words_split
 
 
 def decode_batch(
@@ -73,15 +73,16 @@ def decode_batch(
     for (nch, bps, _bsz, ms), idxs in groups.items():
         geo = parsed[idxs[0]][1]
         nspb = geo.num_samples_per_block
-        wpb = words_per_block(geo)
 
         spans = []  # (block_offset, nblocks) per stream
-        rows = []
+        hdr_rows, data_rows = [], []
         start = 0
         for i in idxs:
             h, _, payload = parsed[i]
             nb = num_blocks_for(h.num_samples, nspb)
-            rows.append(payload_to_words(payload, geo, nb))
+            hw, dw = payload_to_words_split(payload, geo, nb)
+            hdr_rows.append(hw)
+            data_rows.append(dw)
             spans.append((start, nb))
             start += nb
 
@@ -90,11 +91,16 @@ def decode_batch(
         if engine == "fused":
             lane_mult = max(1, 1024 // nch)
             B_pad = -(-B_pad // lane_mult) * lane_mult
-        words = np.zeros((B_pad, wpb), dtype=np.uint32)
-        words[:B_real] = np.concatenate(rows, axis=0)
+        hdr_w = np.zeros((B_pad, hdr_rows[0].shape[1]), dtype=np.uint32)
+        hdr_w[:B_real] = np.concatenate(hdr_rows, axis=0)
+        data_w = np.zeros(
+            (B_pad, *data_rows[0].shape[1:]), dtype=np.uint32
+        )
+        data_w[:B_real] = np.concatenate(data_rows, axis=0)
 
         lanes = _device_pipeline_words_jit(
-            jnp.asarray(words),
+            jnp.asarray(hdr_w),
+            jnp.asarray(data_w),
             geo=geo,
             num_blocks=B_pad,
             bits_per_sample=bps,

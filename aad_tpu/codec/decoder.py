@@ -109,7 +109,8 @@ def _device_pipeline(
 
 
 def _device_pipeline_words(
-    words,
+    hdr_words,
+    data_words,
     *,
     geo: BlockGeometry,
     num_blocks: int,
@@ -119,10 +120,13 @@ def _device_pipeline_words(
 ):
     """Whole decode on device from u32 wire words (no u8 tensors anywhere).
 
-    ``words`` is the host-reinterpreted (num_blocks, words_per_block) uint32
-    wire view (ops.wire32.payload_to_words). Header parse is single-column
-    shift/masks; the code permutation transposes once in compact word space;
-    the fused kernel consumes the words time-major with zero extra relayout.
+    ``hdr_words``/``data_words`` are the host-split aligned uint32 views
+    (ops.wire32.payload_to_words_split): headers (num_blocks, header_words)
+    and the re-based data region (num_blocks, data_words_padded). Header
+    parse is single-column shift/masks; the code permutation transposes
+    once in compact word space; the fused kernel consumes the words
+    time-major with zero extra relayout. Splitting host-side deletes the
+    misaligned minor-axis data slice and the mono funnel shift.
 
     Returns samples **lane-major** with all of channel 0's blocks first:
     (C * num_blocks, nspb) int16, or — fused engine, non-MS — packed
@@ -135,20 +139,20 @@ def _device_pipeline_words(
     pipeline at 57.6 M samples).
     """
     from ..ops.wire32 import (
+        data_to_kernel_words,
         kernel_words_to_codes,
         parse_block_headers_u32,
-        wire_to_kernel_words,
     )
 
     C = geo.num_channels
     B = num_blocks
     T = geo.codes_per_block
-    states = parse_block_headers_u32(words, geo)
+    states = parse_block_headers_u32(hdr_words, geo)
     si = states.step_index.T.reshape(C * B)
     wt = jnp.swapaxes(states.weight, 0, 1).reshape(C * B, 4)
     hi = jnp.swapaxes(states.history, 0, 1).reshape(C * B, 4)
 
-    kw = wire_to_kernel_words(words, geo)  # (Wk, C*B) time-major
+    kw = data_to_kernel_words(data_words, geo)  # (Wk, C*B) time-major
     if engine == "fused":
         from ..ops.pallas_decode import decode_words_timemajor
 
@@ -336,7 +340,7 @@ class Decoder:
         self, payload: np.ndarray, nblocks: int, num_samples: int, bucket: bool
     ):
         """Decode the first ``nblocks`` blocks to (C, num_samples) int16."""
-        from ..ops.wire32 import payload_to_words, supports_wire32
+        from ..ops.wire32 import payload_to_words_split, supports_wire32
 
         h = self.header
         geo = self.geometry
@@ -352,9 +356,10 @@ class Decoder:
                 # stays minimal rather than forcing parity.)
                 lane_mult = max(1, 1024 // geo.num_channels)
                 nb_padded = -(-nb_padded // lane_mult) * lane_mult
-            words = payload_to_words(payload, geo, nb_padded)
+            hdr_w, data_w = payload_to_words_split(payload, geo, nb_padded)
             lanes = _device_pipeline_words_jit(
-                jnp.asarray(words),
+                jnp.asarray(hdr_w),
+                jnp.asarray(data_w),
                 geo=geo,
                 num_blocks=nb_padded,
                 bits_per_sample=h.bits_per_sample,

@@ -254,7 +254,7 @@ class StreamingDecoder:
         if not block_rows:
             return self._empty()
 
-        from ..ops.wire32 import words_per_block
+        from ..ops.wire32 import block_rows_to_words_split
         from .decoder import _bucket_blocks, _device_pipeline_words_jit
 
         # Bucket the batch size so varying push cadences reuse compiled
@@ -266,13 +266,13 @@ class StreamingDecoder:
         if dec.engine == "fused":
             lane_mult = max(1, 1024 // geo.num_channels)
             n_pad = -(-n_pad // lane_mult) * lane_mult
-        wpb = words_per_block(geo)
-        buf = np.zeros((n_pad, wpb * 4), dtype=np.uint8)
-        buf[:n_real, : geo.block_size] = np.stack(block_rows)
-        words = buf.view("<u4").reshape(n_pad, wpb)
+        hdr_w, data_w = block_rows_to_words_split(
+            np.stack(block_rows), geo, n_pad
+        )
 
         lanes = _device_pipeline_words_jit(
-            jnp.asarray(words),
+            jnp.asarray(hdr_w),
+            jnp.asarray(data_w),
             geo=geo,
             num_blocks=n_pad,
             bits_per_sample=h.bits_per_sample,

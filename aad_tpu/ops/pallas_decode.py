@@ -64,9 +64,10 @@ def _stepsize_f32(slot: jax.Array) -> jax.Array:
     inside and outside ambient jit contexts and must not capture arrays.
     """
     xf = slot.astype(jnp.float32)
-    safe = jnp.maximum(xf, 1.0)
-    p = jnp.exp2(1.1 * jnp.log2(safe))
-    p = jnp.where(slot == 0, 0.0, p)
+    # slot == 0: log2(0) = -inf and exp2(-inf) = 0 in IEEE f32, which is
+    # exactly the wanted 0**1.1 = 0 — no max/where guards needed. The
+    # exhaustive probe proves this holds on the actual hardware/compiler.
+    p = jnp.exp2(1.1 * jnp.log2(xf))
     e = jnp.exp2(float(_FORMULA_C) * xf)
     return jnp.round(p + e)
 
@@ -127,9 +128,11 @@ def _delta_select(mag: jax.Array, bits_per_sample: int) -> jax.Array:
             ),
         )
     # 4-bit: [-18, -17, -14, 16, 32, 64, 128, 256]; entries 3.. are 16 << (m-3)
-    low = jnp.where(
-        mag == 0, jnp.int32(tab[0]), jnp.where(mag == 1, jnp.int32(tab[1]), jnp.int32(tab[2]))
-    )
+    # and the low half is the affine-in-bits identity mag - 18 + (mag & 2):
+    # mag 0 -> -18, 1 -> -17, 2 -> -14 (two ops instead of a two-select
+    # chain; exact by enumeration).
+    assert tab[:3] == [-18, -17, -14]
+    low = mag - jnp.int32(18) + (mag & jnp.int32(2))
     high = jnp.left_shift(jnp.int32(16), mag - 3)
     return jnp.where(mag < 3, low, high)
 

@@ -31,9 +31,9 @@ def main() -> None:
     from aad_tpu.ops.decode import resolve_engine
     from aad_tpu.ops.pallas_decode import decode_words_timemajor
     from aad_tpu.ops.wire32 import (
+        data_to_kernel_words,
         parse_block_headers_u32,
-        payload_to_words,
-        wire_to_kernel_words,
+        payload_to_words_split,
     )
 
     seconds = int(sys.argv[1]) if len(sys.argv) > 1 else 120
@@ -44,7 +44,7 @@ def main() -> None:
     nblocks = -(-header.num_samples // header.num_samples_per_block)
     nblocks = -(-nblocks // 512) * 512
     payload = np.frombuffer(data, dtype=np.uint8)[FILE_HEADER_SIZE:]
-    words_np = payload_to_words(payload, geo, nblocks)
+    hdr_np, data_np = payload_to_words_split(payload, geo, nblocks)
     total = header.num_samples * header.num_channels
     engine = resolve_engine("auto")
     T = geo.codes_per_block
@@ -63,20 +63,24 @@ def main() -> None:
         # is a no-op tweak+slice whose per-iteration time is reported as
         # `dispatch_floor_ms` and subtracted from every later stage: the
         # printed ms is the stage's *marginal* device cost.
-        @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
-        def run(w, tok, n):
+        @functools.partial(
+            jax.jit, donate_argnums=(0, 1), static_argnums=(3,)
+        )
+        def run(hw, dw, tok, n):
             def body(_, carry):
-                w, out, tok = carry
-                return fn(w, tok)
+                hw, dw, out, tok = carry
+                return fn(hw, dw, tok)
 
-            w, out0, tok = fn(w, tok)
-            return lax.fori_loop(0, n, body, (w, out0, tok))
+            hw, dw, out0, tok = fn(hw, dw, tok)
+            return lax.fori_loop(0, n, body, (hw, dw, out0, tok))
 
-        # fresh device copy per stage: the donated buffer is consumed
-        w, out, tok = run(jnp.asarray(words_np), jnp.int32(0), iters)
+        # fresh device copies per stage: the donated buffers are consumed
+        hw, dw, out, tok = run(
+            jnp.asarray(hdr_np), jnp.asarray(data_np), jnp.int32(0), iters
+        )
         float(tok)
         t0 = time.time()
-        w, out, tok = run(w, tok, iters)
+        hw, dw, out, tok = run(hw, dw, tok, iters)
         float(tok)
         dt = (time.time() - t0) / (iters + 1)
         if is_baseline:
@@ -94,23 +98,25 @@ def main() -> None:
         }))
         return out
 
-    def tweak(w, tok):
-        return w.at[0, 9].set((tok & 1).astype(jnp.uint32))
+    def tweak(hw, dw, tok):
+        # perturb BOTH arrays so no stage is hoisted as loop-invariant
+        b = (tok & 1).astype(jnp.uint32)
+        return hw.at[0, 0].set(b), dw.at[0, 0].set(b)
 
-    def s_parse(w, tok):
-        w = tweak(w, tok)
-        st = parse_block_headers_u32(w, geo)
-        return w, st, st.step_index[0, 0].astype(jnp.int32)
+    def s_parse(hw, dw, tok):
+        hw, dw = tweak(hw, dw, tok)
+        st = parse_block_headers_u32(hw, geo)
+        return hw, dw, st, st.step_index[0, 0].astype(jnp.int32)
 
-    def s_kw(w, tok):
-        w = tweak(w, tok)
-        kw = wire_to_kernel_words(w, geo)
-        return w, kw, kw[0, 0].astype(jnp.int32)
+    def s_kw(hw, dw, tok):
+        hw, dw = tweak(hw, dw, tok)
+        kw = data_to_kernel_words(dw, geo)
+        return hw, dw, kw, kw[0, 0].astype(jnp.int32)
 
-    def s_kernel(w, tok):
-        w = tweak(w, tok)
-        st = parse_block_headers_u32(w, geo)
-        kw = wire_to_kernel_words(w, geo)
+    def s_kernel(hw, dw, tok):
+        hw, dw = tweak(hw, dw, tok)
+        st = parse_block_headers_u32(hw, geo)
+        kw = data_to_kernel_words(dw, geo)
         C, Bn = geo.num_channels, nblocks
         si = st.step_index.T.reshape(C * Bn)
         hi = jnp.swapaxes(st.history, 0, 1).reshape(C * Bn, 4)
@@ -120,19 +126,19 @@ def main() -> None:
             bits_per_sample=header.bits_per_sample,
             with_head=True, packed_out=True,
         )
-        return w, out, out.reshape(-1)[-1].astype(jnp.int32)
+        return hw, dw, out, out.reshape(-1)[-1].astype(jnp.int32)
 
-    def s_full(w, tok):
-        w = tweak(w, tok)
+    def s_full(hw, dw, tok):
+        hw, dw = tweak(hw, dw, tok)
         out = _device_pipeline_words(
-            w, geo=geo, num_blocks=nblocks,
+            hw, dw, geo=geo, num_blocks=nblocks,
             bits_per_sample=header.bits_per_sample, ms=False, engine=engine,
         )
-        return w, out, out[-1].astype(jnp.int32)
+        return hw, dw, out, out[-1].astype(jnp.int32)
 
-    def s_noop(w, tok):
-        w = tweak(w, tok)
-        return w, w[0, :4], w[0, 0].astype(jnp.int32)
+    def s_noop(hw, dw, tok):
+        hw, dw = tweak(hw, dw, tok)
+        return hw, dw, dw[0, :4], dw[0, 0].astype(jnp.int32)
 
     print(json.dumps({"config": {"seconds": seconds, "blocks": nblocks,
                                  "engine": engine, "samples": total}}))

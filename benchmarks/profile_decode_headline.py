@@ -30,7 +30,7 @@ def main() -> None:
     from aad_tpu import FILE_HEADER_SIZE, decode_header
     from aad_tpu.codec.decoder import Decoder, _device_pipeline_words
     from aad_tpu.ops.decode import resolve_engine
-    from aad_tpu.ops.wire32 import payload_to_words
+    from aad_tpu.ops.wire32 import payload_to_words_split
 
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 50
 
@@ -42,7 +42,8 @@ def main() -> None:
     payload = np.frombuffer(data, dtype=np.uint8)[FILE_HEADER_SIZE:]
     nblocks = -(-header.num_samples // header.num_samples_per_block)
     nblocks = -(-nblocks // 512) * 512
-    words = jnp.asarray(payload_to_words(payload, dec.geometry, nblocks))
+    hdr_np, data_np = payload_to_words_split(payload, dec.geometry, nblocks)
+    hdr_w, data_w = jnp.asarray(hdr_np), jnp.asarray(data_np)
 
     kwargs = dict(
         geo=dec.geometry,
@@ -52,26 +53,27 @@ def main() -> None:
         engine=resolve_engine("auto"),
     )
 
-    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
-    def run(words, token, iters):
+    @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=(3,))
+    def run(hdr_w, data_w, token, iters):
         def body(_, carry):
-            w, out, tok = carry
-            w = w.at[0, 9].set((tok & 1).astype(jnp.uint32))
-            out = _device_pipeline_words(w, **kwargs)
-            return (w, out, out[-1].astype(jnp.int32))
+            hw, dw, out, tok = carry
+            dw = dw.at[0, 0].set((tok & 1).astype(jnp.uint32))
+            out = _device_pipeline_words(hw, dw, **kwargs)
+            return (hw, dw, out, out[-1].astype(jnp.int32))
 
-        out0 = _device_pipeline_words(words, **kwargs)
+        out0 = _device_pipeline_words(hdr_w, data_w, **kwargs)
         return lax.fori_loop(
-            0, iters, body, (words, out0, out0[-1].astype(jnp.int32))
+            0, iters, body,
+            (hdr_w, data_w, out0, out0[-1].astype(jnp.int32)),
         )
 
-    words, out, token = run(words, jnp.int32(0), iters)
+    hdr_w, data_w, out, token = run(hdr_w, data_w, jnp.int32(0), iters)
     float(token)
 
     trace_dir = "/tmp/aad_profile_decode"
     with jax.profiler.trace(trace_dir):
         t0 = time.time()
-        words, out, token = run(words, token, iters)
+        hdr_w, data_w, out, token = run(hdr_w, data_w, token, iters)
         float(token)
         dt = (time.time() - t0) / (iters + 1)
 

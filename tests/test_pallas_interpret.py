@@ -100,7 +100,7 @@ def test_wire32_fused_pipeline_matches_u8_scan(nch, bps):
     from aad_tpu.codec.decoder import _device_pipeline, _device_pipeline_words
     from aad_tpu.ops.decode import resolve_engine
     from aad_tpu.ops.pallas_decode import warm_fused_engine
-    from aad_tpu.ops.wire32 import payload_to_words
+    from aad_tpu.ops.wire32 import payload_to_words_split
 
     warm_fused_engine()
     geo = compute_block_geometry(128, nch, bps)
@@ -126,11 +126,12 @@ def test_wire32_fused_pipeline_matches_u8_scan(nch, bps):
     # decode_payload_ondevice does
     lane_mult = max(1, 1024 // nch)
     nbp = -(-nb // lane_mult) * lane_mult
-    words = payload_to_words(payload, geo, nbp)
+    hdr_w, data_w = payload_to_words_split(payload, geo, nbp)
     lanes = np.asarray(
         _device_pipeline_words(
-            jnp.asarray(words), geo=geo, num_blocks=nbp,
-            bits_per_sample=bps, ms=(nch == 2), engine="fused",
+            jnp.asarray(hdr_w), jnp.asarray(data_w), geo=geo,
+            num_blocks=nbp, bits_per_sample=bps, ms=(nch == 2),
+            engine="fused",
         )
     )
     if lanes.dtype == np.uint32:
