@@ -107,10 +107,9 @@ def decode_batch(
             ms=ms,
             engine=engine,
         )
-        arr = np.asarray(lanes)
-        if arr.dtype == np.uint32:
-            arr = arr.view("<i2")
-        full = arr.reshape(nch, B_pad * nspb)  # free host view
+        from .decoder import _to_host_flat
+
+        full = _to_host_flat(lanes).reshape(nch, B_pad * nspb)
 
         for i, (off, nb) in zip(idxs, spans):
             h = parsed[i][0]

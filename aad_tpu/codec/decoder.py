@@ -166,10 +166,17 @@ def _device_pipeline_words(
             with_head=True, packed_out=not ms,
         )
         if not ms:
-            # Flat 1-D: a 1-D output pins the element order (and its layout
-            # is unique), so XLA cannot hand back a column-major buffer that
-            # would force a hidden host-side copy on reshape.
-            return samples.reshape(-1)  # C*B*nspb//2 u32 sample-pair words
+            # 2-D (C*B, nspb//2) u32 sample-pair words, layout
+            # compiler-chosen — on TPU, XLA keeps the kernel's time-major
+            # buffer and hands back a transposed-layout view (a bitcast),
+            # which is the jax-native contract for device-resident results
+            # (any downstream jit consumes it at full speed; layout APIs
+            # are ignored by this backend, so pinning row-major here is
+            # not possible anyway). Host-export callers must linearise
+            # first via _linearize_jit: an in-jit flatten materialises the
+            # unique 1-D order (~0.34 ms per 57.6 M samples, two XLA
+            # relayout passes) and makes np.asarray a straight stream.
+            return samples
     else:
         from ..ops.decode import compute_qdiffs, lms_scan
 
@@ -232,6 +239,23 @@ _device_pipeline_words_jit = jax.jit(
         "engine",
     ),
 )
+
+# Host-export finaliser for the fused pipeline's 2-D packed output: the 1-D
+# layout is unique, so this materialises the lane-major element order on
+# device and the host fetch is a straight stream (np.asarray of the raw 2-D
+# comes back F-ordered on TPU — XLA keeps the kernel's time-major buffer —
+# and a strided host view cannot be byte-reinterpreted).
+_linearize_jit = jax.jit(lambda x: x.reshape(-1))
+
+
+def _to_host_flat(lanes) -> np.ndarray:
+    """Device pipeline output (1-D or 2-D packed) -> flat host int16 view."""
+    if getattr(lanes, "ndim", 1) == 2:
+        lanes = _linearize_jit(lanes)
+    arr = np.asarray(lanes)
+    if arr.dtype == np.uint32:
+        arr = arr.view("<i2")
+    return arr
 
 
 @dataclasses.dataclass
@@ -369,10 +393,7 @@ class Decoder:
             # Lane-major -> (C, num_samples): a free host view (device-side
             # channel re-tiling is pathological, see _device_pipeline_words).
             # Packed uint32 sample-pair rows are byte-identical int16 rows.
-            arr = np.asarray(lanes)
-            if arr.dtype == np.uint32:
-                arr = arr.view("<i2")
-            full = arr.reshape(h.num_channels, -1)
+            full = _to_host_flat(lanes).reshape(h.num_channels, -1)
             return full[:, :num_samples]
         total = nb_padded * geo.block_size
         buf = np.zeros(total, dtype=np.uint8)

@@ -279,10 +279,9 @@ class StreamingDecoder:
             ms=h.ch_process_method == CH_PROCESS_MS,
             engine=dec.engine,
         )
-        arr = np.asarray(lanes)
-        if arr.dtype == np.uint32:
-            arr = arr.view("<i2")
-        full = arr.reshape(geo.num_channels, n_pad * nspb)
+        from .decoder import _to_host_flat
+
+        full = _to_host_flat(lanes).reshape(geo.num_channels, n_pad * nspb)
         out = [
             full[:, b * nspb : b * nspb + v] for b, v in enumerate(valids)
         ]

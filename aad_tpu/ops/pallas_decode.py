@@ -576,10 +576,15 @@ def _decode_tiled(
         assert T % 2 == 0
         if Wp * 4 == T // 2:
             # Exact fit (divisor w_chunk, no pad rows): the kernel's u32
-            # output transposes and flattens with no dtype conversion —
-            # the s32->u32 bitcast used to cost a real 0.15 ms pass here
-            # (benchmarks/probe_perm_detile.py).
-            return out.reshape(Wp * 4, Lp).T.reshape(-1)
+            # output transposes with no dtype conversion — the s32->u32
+            # bitcast used to cost a real 0.15 ms pass here
+            # (benchmarks/probe_perm_detile.py). Returned 2-D (Lp, Wp*4)
+            # rather than flat: flattening to 1-D forces a second
+            # T(8,128)->T(1024) retile pass (~0.165 ms at 57.6 M samples)
+            # on top of the transposing copy, while the 2-D row-major
+            # tiled form is just as final (np.asarray linearises any
+            # device layout during the host fetch).
+            return out.reshape(Wp * 4, Lp).T
         return out.transpose(1, 2, 3, 0).reshape(Lp, Wp * 4)[:, : T // 2]
     packed = out.transpose(1, 2, 3, 0).reshape(Lp, Wp * 4)
     unpack = unpack_sample_words_i16 if as_int16 else unpack_sample_words

@@ -101,7 +101,7 @@ def main() -> None:
     def tweak(hw, dw, tok):
         # perturb BOTH arrays so no stage is hoisted as loop-invariant
         b = (tok & 1).astype(jnp.uint32)
-        return hw.at[0, 0].set(b), dw.at[0, 0].set(b)
+        return hw.at[0, 0].set(b), dw.at[(0,) * dw.ndim].set(b)
 
     def s_parse(hw, dw, tok):
         hw, dw = tweak(hw, dw, tok)
@@ -126,7 +126,7 @@ def main() -> None:
             bits_per_sample=header.bits_per_sample,
             with_head=True, packed_out=True,
         )
-        return hw, dw, out, out.reshape(-1)[-1].astype(jnp.int32)
+        return hw, dw, out, out[(-1,) * out.ndim].astype(jnp.int32)
 
     def s_full(hw, dw, tok):
         hw, dw = tweak(hw, dw, tok)
@@ -134,11 +134,11 @@ def main() -> None:
             hw, dw, geo=geo, num_blocks=nblocks,
             bits_per_sample=header.bits_per_sample, ms=False, engine=engine,
         )
-        return hw, dw, out, out[-1].astype(jnp.int32)
+        return hw, dw, out, out[(-1,) * out.ndim].astype(jnp.int32)
 
     def s_noop(hw, dw, tok):
         hw, dw = tweak(hw, dw, tok)
-        return hw, dw, dw[0, :4], dw[0, 0].astype(jnp.int32)
+        return hw, dw, dw[0, :4], dw[(0,) * dw.ndim].astype(jnp.int32)
 
     print(json.dumps({"config": {"seconds": seconds, "blocks": nblocks,
                                  "engine": engine, "samples": total}}))

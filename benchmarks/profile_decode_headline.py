@@ -59,12 +59,12 @@ def main() -> None:
             hw, dw, out, tok = carry
             dw = dw.at[0, 0].set((tok & 1).astype(jnp.uint32))
             out = _device_pipeline_words(hw, dw, **kwargs)
-            return (hw, dw, out, out[-1].astype(jnp.int32))
+            return (hw, dw, out, out[(-1,) * out.ndim].astype(jnp.int32))
 
         out0 = _device_pipeline_words(hdr_w, data_w, **kwargs)
         return lax.fori_loop(
             0, iters, body,
-            (hdr_w, data_w, out0, out0[-1].astype(jnp.int32)),
+            (hdr_w, data_w, out0, out0[(-1,) * out0.ndim].astype(jnp.int32)),
         )
 
     hdr_w, data_w, out, token = run(hdr_w, data_w, jnp.int32(0), iters)
