@@ -63,6 +63,42 @@ def encode_batch(
 
     S = len(streams)
     B = max(num_blocks_for(n, nspb) for n in lengths)
+    # valid samples per (block, stream); broadcast over channels
+    valid = np.clip(
+        np.asarray(lengths)[None, :] - np.arange(B)[:, None] * nspb, 0, nspb
+    ).astype(np.int32)
+
+    ms = config.ch_process_method == CH_PROCESS_MS
+    from ..ops.wire32 import supports_wire32, wire_words_to_payload
+
+    if supports_wire32(geo) and not ms and not parallel_blocks:
+        # Folded-lane sequential batch: stage (B, C*S, nspb) with lane
+        # l = c*S + s. A (B, S, C, nspb) entry pads its C=2 sublane axis
+        # to 8, so the device-side fold to kernel lanes materialises
+        # multi-pass relayouts of the whole sample array (see
+        # _encode_device_wire's folded branches).
+        from .encoder import _encode_device_wire
+
+        padded = np.zeros((nch, S, B * nspb), dtype=np.int32)
+        for s, pcm in enumerate(streams):
+            padded[:, s, : lengths[s]] = pcm
+        blocks = np.moveaxis(
+            padded.reshape(nch, S, B, nspb), 2, 0
+        ).reshape(B, nch * S, nspb)
+        valid_l = np.tile(valid, (1, nch))  # (B, C*S), c-major
+        words = np.asarray(
+            _encode_device_wire(
+                jnp.asarray(blocks), jnp.asarray(valid_l), geo=geo,
+                num_trials=config.num_encode_trials, ms=False,
+                engine=engine, lanes_folded=True,
+            )
+        )  # (B, S, wpb)
+        return [
+            encode_header(config.header_for(n))
+            + wire_words_to_payload(words[:, s], geo, n).tobytes()
+            for s, n in enumerate(lengths)
+        ]
+
     padded = np.zeros((S, nch, B * nspb), dtype=np.int32)
     for s, pcm in enumerate(streams):
         padded[s, :, : lengths[s]] = pcm
@@ -70,14 +106,7 @@ def encode_batch(
     blocks = np.ascontiguousarray(
         np.moveaxis(padded.reshape(S, nch, B, nspb), 2, 0)
     )
-    # valid samples per (block, stream); broadcast over channels
-    valid = np.clip(
-        np.asarray(lengths)[None, :] - np.arange(B)[:, None] * nspb, 0, nspb
-    ).astype(np.int32)
-
-    ms = config.ch_process_method == CH_PROCESS_MS
     valid_j = jnp.asarray(valid)[:, :, None]  # (B, S, 1) -> lanes (S, C)
-    from ..ops.wire32 import supports_wire32, wire_words_to_payload
 
     if supports_wire32(geo):
         # fully on-device pipeline: codes stay packed, headers and the

@@ -108,13 +108,13 @@ def _encode_device(
     jax.jit,
     static_argnames=(
         "geo", "num_trials", "ms", "engine", "parallel", "warm_passes",
-        "chunk_blocks",
+        "chunk_blocks", "lanes_folded",
     ),
 )
 def _encode_device_wire(
     blocks, valid, *, geo: BlockGeometry, num_trials: int, ms: bool,
     engine: str, parallel: bool = False, warm_passes: int = 0,
-    chunk_blocks: int = 1,
+    chunk_blocks: int = 1, lanes_folded: bool = False,
 ):
     """Whole encode on device: padded PCM -> (B, wpb) u32 wire-word rows.
 
@@ -130,12 +130,73 @@ def _encode_device_wire(
     (ops.encode.encode_blocks_parallel): the block axis joins the lane
     axes, so every block of the stream encodes concurrently.
     """
-    from ..ops.encode import encode_blocks_parallel, encode_stream_words
+    from ..ops.encode import (
+        encode_blocks_parallel,
+        encode_blocks_parallel_flat,
+        encode_stream_words,
+    )
     from ..ops.wire32 import (
         assemble_wire_words,
         build_header_words,
         kernel_words_to_wire,
     )
+
+    if parallel and blocks.ndim == 2:
+        # Channel-major folded lanes (C*B, nspb): clean (8,128) tiling.
+        # The (B, C, nspb) entry form pads its C=2 sublane axis to 8, so
+        # the fold to kernel lanes materialises three full-array passes
+        # (~1.25 ms of a 4.5 ms parallel encode at 32.5 M samples);
+        # channel-major staging is also free on the host (the natural
+        # (C, N) -> (C*B, nspb) view) and makes every per-channel wire
+        # slice a contiguous leading-axis half.
+        assert not ms and chunk_blocks == 1 and warm_passes == 0
+        C = geo.num_channels
+        L = blocks.shape[0]
+        B = L // C
+        headers, kw = encode_blocks_parallel_flat(
+            blocks, valid, geo.bits_per_sample, num_trials, engine=engine
+        )
+        hdr_u16 = build_header_words(
+            headers.step_index.reshape(C, B),
+            headers.shift.reshape(C, B),
+            headers.weight.reshape(C, B, 4),
+            headers.history.reshape(C, B, 4),
+            geo,
+            channel_leading=True,
+        )
+        data_words = kernel_words_to_wire(
+            kw.reshape(C, B, -1), geo, channel_axis=0
+        )
+        return assemble_wire_words(hdr_u16, data_words, geo)
+
+    if lanes_folded and not parallel:
+        # Batch-sequential folded lanes: blocks (B, C*S, nspb) with lane
+        # l = c*S + s (channel-major over streams), valid (B, C*S). Same
+        # tiling rationale as the parallel flat branch — a (B, S, C, nspb)
+        # entry pads its C=2 sublane axis to 8.
+        assert not ms and blocks.ndim == 3
+        C = geo.num_channels
+        B, L, _ = blocks.shape
+        S = L // C
+        headers, kw, _ = encode_stream_words(
+            blocks, valid, geo.bits_per_sample, num_trials,
+            engine=engine, need_carry=False,
+        )
+
+        def unfold(x):  # (B, L[, 4]) -> (B, S, C[, 4]); header-scale tiny
+            return jnp.moveaxis(x.reshape(B, C, S, *x.shape[2:]), 1, 2)
+
+        hdr_u16 = build_header_words(
+            unfold(headers.step_index),
+            unfold(headers.shift),
+            unfold(headers.weight),
+            unfold(headers.history),
+            geo,
+        )
+        data_words = kernel_words_to_wire(
+            kw.reshape(B, C, S, -1), geo, channel_axis=1
+        )
+        return assemble_wire_words(hdr_u16, data_words, geo)
 
     if ms:
         blocks = lr_to_ms(blocks)
@@ -168,6 +229,30 @@ def resolve_encode_engine(engine: str = "auto") -> str:
 
         warm_fused_engine()
     return engine
+
+
+def _pad_to_lanes_flat(
+    pcm: np.ndarray, geo: BlockGeometry, bucket=None
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """(C, N) -> ((C*Bp, nspb) channel-major int32, valid (C*Bp,), B).
+
+    The folded-lane staging for the block-parallel encode: one zero-padded
+    per-channel buffer whose reshape IS the lane layout (all of channel
+    0's blocks first — the decode pipeline's lane order), covering both
+    the final-block zero pad and the ``bucket`` block-count pad in a
+    single allocation. Pad lanes carry valid=0.
+    """
+    nch, n = pcm.shape
+    nspb = geo.num_samples_per_block
+    nblocks = num_blocks_for(n, nspb)
+    Bp = bucket(nblocks) if bucket else nblocks
+    buf = np.zeros((nch, Bp * nspb), dtype=np.int32)
+    buf[:, :n] = pcm
+    valid = np.minimum(
+        np.full(Bp, nspb, dtype=np.int64),
+        np.maximum(n - np.arange(Bp, dtype=np.int64) * nspb, 0),
+    ).astype(np.int32)
+    return buf.reshape(nch * Bp, nspb), np.tile(valid, nch), nblocks
 
 
 def _pad_to_blocks(pcm: np.ndarray, geo: BlockGeometry) -> tuple[np.ndarray, np.ndarray, int]:
@@ -254,7 +339,6 @@ class Encoder:
         header = self.config.header_for(num_samples)
         file_header = encode_header(header)
 
-        blocks, valid, _ = _pad_to_blocks(pcm, self.geometry)
         engine = (
             self.engine if self.engine != "auto" else resolve_encode_engine()
         )
@@ -262,6 +346,39 @@ class Encoder:
 
         from ..ops.wire32 import supports_wire32, wire_words_to_payload
 
+        flat_lanes = (
+            self.parallel_blocks
+            and not ms
+            and self.parallel_chunk_blocks == 1
+            and self.parallel_warm_passes == 0
+            and supports_wire32(self.geometry)
+        )
+        if flat_lanes:
+            # Channel-major folded staging: (C, N) pcm -> (C*Bp, nspb) is a
+            # single zero-padded buffer + free reshape (no swapaxes copy),
+            # and the 2-D device entry tiles cleanly — see the flat branch
+            # of _encode_device_wire for the layout reasoning. Bucket the
+            # block count so distinct stream lengths reuse compiled shapes.
+            from .decoder import _bucket_blocks
+
+            lanes2d, valid, _ = _pad_to_lanes_flat(
+                pcm, self.geometry, _bucket_blocks
+            )
+            words = _encode_device_wire(
+                jnp.asarray(lanes2d),
+                jnp.asarray(valid),
+                geo=self.geometry,
+                num_trials=cfg.num_encode_trials,
+                ms=False,
+                engine=engine,
+                parallel=True,
+            )
+            payload = wire_words_to_payload(
+                np.asarray(words), self.geometry, num_samples
+            )
+            return file_header + payload.tobytes()
+
+        blocks, valid, _ = _pad_to_blocks(pcm, self.geometry)
         if supports_wire32(self.geometry):
             if self.parallel_blocks:
                 # Pad the block axis to a geometric bucket: blocks ride the

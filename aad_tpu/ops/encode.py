@@ -616,6 +616,35 @@ def encode_blocks_parallel(
     return jax.tree.map(from_chunks, headers), from_chunks(kw)
 
 
+def encode_blocks_parallel_flat(
+    blocks: Array,
+    valid: Array,
+    bits_per_sample: int,
+    num_trials: int,
+    *,
+    engine: str = "scan",
+):
+    """Folded-lane fast path of :func:`encode_blocks_parallel` (c=1 only).
+
+    ``blocks`` is (L, nspb) int32 with every lane a stream head — the
+    channel-major fold of (B, C, nspb) (all of channel 0's blocks first,
+    matching the decode pipeline's lane order) — and ``valid`` is (L,).
+    Semantically identical to ``encode_blocks_parallel(chunk_blocks=1)``
+    on the unfolded array; the fold exists because a (B, 2, nspb) device
+    array tiles its 2-wide sublane axis 8-padded, making every reshape
+    across it a materialised multi-pass relayout (~1.25 ms of a 4.5 ms
+    parallel encode at 32.5 M samples), while (L, nspb) tiles cleanly.
+
+    Returns (headers with (L,) leaves, (L, Wk) uint32 kernel words).
+    """
+    headers, kw, _ = encode_stream_words(
+        blocks[None], jnp.asarray(valid, jnp.int32)[None],
+        bits_per_sample, num_trials,
+        engine=engine, warm_on_prev=False, need_carry=False,
+    )
+    return jax.tree.map(lambda x: x[0], headers), kw[0]
+
+
 def parallel_warm_states(
     xs: Array,
     vs: Array,

@@ -446,7 +446,9 @@ def _deinterleave_words(kw: jax.Array, n: int) -> tuple[jax.Array, ...]:
     return tuple(g[..., i] for i in range(n))
 
 
-def kernel_words_to_wire(kw: jax.Array, geo: BlockGeometry) -> jax.Array:
+def kernel_words_to_wire(
+    kw: jax.Array, geo: BlockGeometry, *, channel_axis: int | None = None
+) -> jax.Array:
     """(..., C, Wk) kernel code words -> (..., Wd) wire data words.
 
     Exact inverse of :func:`wire_to_kernel_words` (verified against
@@ -454,6 +456,14 @@ def kernel_words_to_wire(kw: jax.Array, geo: BlockGeometry) -> jax.Array:
     :func:`kernel_words_needed`; code slots past codes_per_block land in
     bytes past ``geo.data_bytes``, which the caller's block-size slice
     drops, so their (garbage) content never reaches the wire.
+
+    ``channel_axis`` selects where the channel axis sits; the default
+    ``None`` is the legacy (..., C, Wk) form. The folded-lane pipelines
+    pass 0 ((C, ..., Wk), block-parallel) or 1 ((B, C, ..., Wk), batch) —
+    any position above the minor dims makes each channel's words a free
+    slice, where the legacy form puts C in the sublane position and (for
+    C=2) tiles 8-padded, turning every channel slice into a strided
+    gather.
     """
     assert supports_wire32(geo)
     nch, bps = geo.num_channels, geo.bits_per_sample
@@ -465,7 +475,13 @@ def kernel_words_to_wire(kw: jax.Array, geo: BlockGeometry) -> jax.Array:
     elif have > need:
         kw = kw[..., :need]
     kw = kw.astype(jnp.uint32)
-    chans = [kw[..., c, :] for c in range(nch)]
+    if channel_axis is None:
+        chans = [kw[..., c, :] for c in range(nch)]
+    else:
+        chans = [
+            jax.lax.index_in_dim(kw, c, axis=channel_axis, keepdims=False)
+            for c in range(nch)
+        ]
     ff = jnp.uint32(0xFF)
     k = _deinterleave_factor(geo)
 
@@ -535,7 +551,7 @@ def kernel_words_to_wire(kw: jax.Array, geo: BlockGeometry) -> jax.Array:
 
     if k == 1:
         return groups[0]
-    return jnp.stack(groups, axis=-1).reshape(*kw.shape[:-2], -1)
+    return jnp.stack(groups, axis=-1).reshape(*chans[0].shape[:-1], -1)
 
 
 def _swap16(v: jax.Array) -> jax.Array:
@@ -543,7 +559,10 @@ def _swap16(v: jax.Array) -> jax.Array:
     return ((v >> 8) & jnp.uint32(0xFF)) | ((v & jnp.uint32(0xFF)) << 8)
 
 
-def build_header_words(step_index, shift, weight, history, geo: BlockGeometry):
+def build_header_words(
+    step_index, shift, weight, history, geo: BlockGeometry,
+    *, channel_leading: bool = False,
+):
     """Header fields -> list of (...,) u16 field values (big-endian content).
 
     Field order per channel: tag = (step_index << 4) | shift, then
@@ -561,10 +580,18 @@ def build_header_words(step_index, shift, weight, history, geo: BlockGeometry):
     pathological strided fusion (profiled at ~4 ms of a 9 ms parallel
     encode call together with the header-field slicing this pairs with).
     """
-    si_cf = jnp.moveaxis(step_index, -1, 0).astype(jnp.uint32)    # (C, ...)
-    sh_cf = jnp.moveaxis(shift, -1, 0).astype(jnp.int32)          # (C, ...)
-    w_cf = jnp.moveaxis(weight, (-2, -1), (0, 1)).astype(jnp.int32)
-    h_cf = jnp.moveaxis(history, (-2, -1), (0, 1)).astype(jnp.uint32)
+    if channel_leading:
+        # inputs already (C, ...) / (C, ..., 4) — the folded-lane layout;
+        # only the tap axis moves behind the channel axis.
+        si_cf = step_index.astype(jnp.uint32)
+        sh_cf = shift.astype(jnp.int32)
+        w_cf = jnp.moveaxis(weight, -1, 1).astype(jnp.int32)
+        h_cf = jnp.moveaxis(history, -1, 1).astype(jnp.uint32)
+    else:
+        si_cf = jnp.moveaxis(step_index, -1, 0).astype(jnp.uint32)  # (C, ...)
+        sh_cf = jnp.moveaxis(shift, -1, 0).astype(jnp.int32)        # (C, ...)
+        w_cf = jnp.moveaxis(weight, (-2, -1), (0, 1)).astype(jnp.int32)
+        h_cf = jnp.moveaxis(history, (-2, -1), (0, 1)).astype(jnp.uint32)
     tag = (si_cf << TABLES_FLOAT_DIGITS) | (sh_cf.astype(jnp.uint32) & 0xF)
     wv = ((w_cf >> sh_cf[:, None]).astype(jnp.uint32)) & 0xFFFF   # (C, 4, ...)
     hv = h_cf & 0xFFFF

@@ -276,14 +276,17 @@ def measure_encode():
         nspb = geo.num_samples_per_block
         S, B = 4096, 4
         sig = (9000 * np.sin(np.arange(S * B * NCH * nspb) / 17)).astype(np.int32)
-        blocks = jnp.asarray(sig.reshape(B, S, NCH, nspb))
-        valid = jnp.full(B, nspb, dtype=jnp.int32)
+        # folded lanes (B, C*S, nspb) — the batch API's staging (see
+        # codec.batch_encode): a (B, S, C, nspb) entry tiles 8-padded on
+        # the C=2 sublane axis
+        blocks = jnp.asarray(sig.reshape(B, S * NCH, nspb))
+        valid = jnp.full((B, S * NCH), nspb, dtype=jnp.int32)
         total = S * B * NCH * nspb
 
         def pipeline(bl):
             return _encode_device_wire(
                 bl, valid, geo=geo, num_trials=cfg.num_encode_trials,
-                ms=False, engine=engine,
+                ms=False, engine=engine, lanes_folded=True,
             )
 
         @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
@@ -298,7 +301,7 @@ def measure_encode():
             # (~0.5 ms, ~10% of the measurement).
             def body(_, carry):
                 bl, out, tok = carry
-                bl = bl.at[0, 0, 0, 0].set(tok & 1)
+                bl = bl.at[0, 0, 0].set(tok & 1)
                 out = pipeline(bl)
                 return (bl, out, out[0, 0, 0].astype(jnp.int32))
 
@@ -346,8 +349,10 @@ def measure_encode_parallel():
         nspb = geo.num_samples_per_block
         B = 16384  # one ~340 s stereo stream; smaller B is glue-dominated
         sig = (9000 * np.sin(np.arange(B * NCH * nspb) / 17)).astype(np.int32)
-        blocks = jnp.asarray(sig.reshape(B, NCH, nspb))
-        valid = jnp.full(B, nspb, dtype=jnp.int32)
+        # channel-major folded lanes (C*B, nspb) — the flat staging the
+        # public parallel encode path uses (see _pad_to_lanes_flat)
+        blocks = jnp.asarray(sig.reshape(B * NCH, nspb))
+        valid = jnp.full(B * NCH, nspb, dtype=jnp.int32)
         total = B * NCH * nspb
 
         def pipeline(bl):
@@ -363,7 +368,7 @@ def measure_encode_parallel():
             # measure_encode).
             def body(_, carry):
                 bl, out, tok = carry
-                bl = bl.at[0, 0, 0].set(tok & 1)
+                bl = bl.at[0, 0].set(tok & 1)
                 out = pipeline(bl)
                 return (bl, out, out[0, 0].astype(jnp.int32))
 
