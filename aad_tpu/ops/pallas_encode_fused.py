@@ -71,7 +71,21 @@ from .pallas_decode import (
 MAX_NSPB_RESIDENT = 1664
 # HBM->VMEM chunk for the streaming variant (words; x2 samples each),
 # double-buffered (2 slots in scratch), so VMEM = 2*chunk*R*4 KB.
+# _pick_stream_chunk prefers an exact divisor of the natural word count so
+# the word array needs NO chunk-multiple padding (the pad lowered to a
+# separate full-array copy pass — 65 MB / ~0.13 ms at the batch-encode
+# bench scale) and the kernel never walks dead pad words; STREAM_CHUNK is
+# the fallback when no divisor in [16, MAX_STREAM_CHUNK] exists.
 STREAM_CHUNK = 128
+MAX_STREAM_CHUNK = 160
+
+
+def _pick_stream_chunk(w2: int) -> tuple[int, int]:
+    """(padded word count, chunk): chunk | w2 and chunk % 4 == 0."""
+    for cand in range(MAX_STREAM_CHUNK, 15, -4):
+        if w2 % cand == 0:
+            return w2, cand
+    return -(-w2 // STREAM_CHUNK) * STREAM_CHUNK, STREAM_CHUNK
 # Lane-interleave factor: process R independent (8, 128) lane tiles per
 # grid step, folded onto the sublane axis as one (R*8, 128) vector working
 # set. The encoder is bound by the per-sample dependent-op chain on the
@@ -116,11 +130,11 @@ def _make_kernel(
     def kernel(*refs):
         if needs_prev:
             (cur_w_ref, prev_w_ref, prev0_w_ref, cur_h_ref, prev_h_ref,
-             valid_ref, idx_ref, h_ref, w_ref, bb_ref,
+             valid_ref, idx_ref, h_ref, w_ref, bb_ref, wf_ref,
              codes_ref, hdr_ref, *rest) = refs
         else:
             (cur_w_ref, cur_h_ref, valid_ref, idx_ref, h_ref, w_ref,
-             codes_ref, hdr_ref, *rest) = refs
+             wf_ref, codes_ref, hdr_ref, *rest) = refs
         if emit_state:
             fstate_ref, state, *stream_scratch = rest
         else:
@@ -138,28 +152,44 @@ def _make_kernel(
         # by lax.cond so only one source is ever streamed.
 
         if stream_chunk is None:
-            def stream_words(words_ref, bi, body, carry):
+            def stream_words(words_ref, bi, body_u, body_m, wfull, carry):
                 """Iterate (word_index, word, carry) over a VMEM-resident
-                block (block choice is baked into the ref's index map)."""
+                block (block choice is baked into the ref's index map).
+
+                Two-phase: words [0, wfull) run the unmasked body (every
+                sample live for every lane — no per-sample live compare and
+                no 9-way state select), the tail runs the masked body.
+                ``wfull`` is a traced scalar or a static int."""
                 del bi
-                return lax.fori_loop(
-                    0, n_words,
-                    lambda wi, c: body(wi, words_ref[0, wi, 0], c),
+                c = lax.fori_loop(
+                    0, wfull,
+                    lambda wi, c: body_u(wi, words_ref[0, wi, 0], c),
                     carry,
                 )
+                return lax.fori_loop(
+                    wfull, n_words,
+                    lambda wi, c: body_m(wi, words_ref[0, wi, 0], c),
+                    c,
+                )
 
-            def stream_groups4(words_ref, bi, body4, carry):
+            def stream_groups4(words_ref, bi, body4_u, body4_m, gfull, carry):
                 """Iterate groups of 4 words (one code word's worth) with
                 static in-group positions — the emit pass packs codes with
                 static shift amounts this way (a traced shift per sample
-                measured ~7x slower than the whole measure pass)."""
+                measured ~7x slower than the whole measure pass). Groups
+                [0, gfull) run the unmasked body (all 8 codes live)."""
                 del bi
 
-                def g_step(g, c):
+                def g_u(g, c):
                     ws = tuple(words_ref[0, 4 * g + j, 0] for j in range(4))
-                    return body4(g, ws, c)
+                    return body4_u(g, ws, c)
 
-                return lax.fori_loop(0, n_words // 4, g_step, carry)
+                def g_m(g, c):
+                    ws = tuple(words_ref[0, 4 * g + j, 0] for j in range(4))
+                    return body4_m(g, ws, c)
+
+                c = lax.fori_loop(0, gfull, g_u, carry)
+                return lax.fori_loop(gfull, n_words // 4, g_m, c)
         else:
             buf, sem = stream_scratch
             n_chunks = n_words // stream_chunk
@@ -197,22 +227,39 @@ def _make_kernel(
 
                 return lax.fori_loop(0, n_chunks, chunk_step, carry)
 
-            def stream_words(words_ref, bi, body, carry):
+            def stream_words(words_ref, bi, body_u, body_m, wfull, carry):
                 def chunk_body(ci, slot, c):
-                    def inner(wj, c2):
-                        return body(ci * stream_chunk + wj, buf[slot, wj], c2)
+                    base = ci * stream_chunk
+                    u = jnp.clip(wfull - base, 0, stream_chunk)
 
-                    return lax.fori_loop(0, stream_chunk, inner, c)
+                    def iu(wj, c2):
+                        return body_u(base + wj, buf[slot, wj], c2)
+
+                    def im(wj, c2):
+                        return body_m(base + wj, buf[slot, wj], c2)
+
+                    c = lax.fori_loop(0, u, iu, c)
+                    return lax.fori_loop(u, stream_chunk, im, c)
 
                 return _dma_loop(words_ref, bi, chunk_body, carry)
 
-            def stream_groups4(words_ref, bi, body4, carry):
-                def chunk_body(ci, slot, c):
-                    def inner(gj, c2):
-                        ws = tuple(buf[slot, 4 * gj + j] for j in range(4))
-                        return body4(ci * (stream_chunk // 4) + gj, ws, c2)
+            def stream_groups4(words_ref, bi, body4_u, body4_m, gfull, carry):
+                gpc = stream_chunk // 4
 
-                    return lax.fori_loop(0, stream_chunk // 4, inner, c)
+                def chunk_body(ci, slot, c):
+                    base = ci * gpc
+                    u = jnp.clip(gfull - base, 0, gpc)
+
+                    def iu(gj, c2):
+                        ws = tuple(buf[slot, 4 * gj + j] for j in range(4))
+                        return body4_u(base + gj, ws, c2)
+
+                    def im(gj, c2):
+                        ws = tuple(buf[slot, 4 * gj + j] for j in range(4))
+                        return body4_m(base + gj, ws, c2)
+
+                    c = lax.fori_loop(0, u, iu, c)
+                    return lax.fori_loop(u, gpc, im, c)
 
                 return _dma_loop(words_ref, bi, chunk_body, carry)
 
@@ -279,10 +326,12 @@ def _make_kernel(
             code = jnp.where(neg, mag | signbit, mag)
             return code, qdiff, st2
 
-        def seed(st, head_ref, mask):
-            """history <- block's first 4 samples (masked per lane)."""
+        def seed(st, head_ref, mask=None):
+            """history <- block's first 4 samples (mask=None: every lane)."""
             h3, h2, h1, h0 = (head_ref[0, 0, k] for k in range(4))
             # head[k] is sample k; history[j] = sample (3 - j)
+            if mask is None:
+                return (h0, h1, h2, h3, st[4], st[5], st[6], st[7], st[8])
             return (
                 jnp.where(mask, h0, st[0]),
                 jnp.where(mask, h1, st[1]),
@@ -291,34 +340,54 @@ def _make_kernel(
                 st[4], st[5], st[6], st[7], st[8],
             )
 
-        def measure(st, words_ref, bi, live_mask_fn):
-            """Masked measure pass; returns (st', (sse_hi, sse_lo))."""
+        def measure(st, words_ref, bi, live_mask_fn, wfull):
+            """Two-phase measure pass; returns (st', (sse_hi, sse_lo)).
 
-            def body(wi, word, carry):
-                st, sh, sl = carry[:9], carry[9], carry[10]
-                lo = (word << 16) >> 16
-                hi = word >> 16
-                for k, sample in ((0, lo), (1, hi)):
-                    gt = wi * 2 + k
-                    _code, qdiff, st2 = sample_step(sample, st)
-                    live = live_mask_fn(gt)
-                    st = tuple(jnp.where(live, a, b) for a, b in zip(st2, st))
-                    # the reference's accumulator term is the WRAPPED
-                    # int32 product (src/aad_encoder.c:459-461): qdiff^2
-                    # >= 2^31 enters negative; hi takes the sign extension
-                    sq = jnp.where(live, qdiff * qdiff, 0)
-                    nsl = sl + sq
-                    usl = sl ^ jnp.int32(-2147483648)
-                    unsl = nsl ^ jnp.int32(-2147483648)
-                    # sign extension via arithmetic shift — a ``sq < 0``
-                    # compare is folded to false by XLA ((x*x) < 0
-                    # simplification, unsound under int32 wrap)
-                    sh = sh + (unsl < usl).astype(jnp.int32) + (sq >> 31)
-                    sl = nsl
-                return (*st, sh, sl)
+            Words [0, wfull) have every sample live for every lane in the
+            tile and skip the per-sample live compare + 9-way state select
+            (~11 of ~95 vector ops per step); the tail applies
+            ``live_mask_fn`` exactly as the reference's in-block sample
+            bound does (src/aad_encoder.c:443-455)."""
+
+            def mk_body(masked):
+                def body(wi, word, carry):
+                    st, sh, sl = carry[:9], carry[9], carry[10]
+                    lo = (word << 16) >> 16
+                    hi = word >> 16
+                    for k, sample in ((0, lo), (1, hi)):
+                        gt = wi * 2 + k
+                        _code, qdiff, st2 = sample_step(sample, st)
+                        if masked:
+                            live = live_mask_fn(gt)
+                            st = tuple(
+                                jnp.where(live, a, b)
+                                for a, b in zip(st2, st)
+                            )
+                            # the reference's accumulator term is the
+                            # WRAPPED int32 product
+                            # (src/aad_encoder.c:459-461): qdiff^2 >= 2^31
+                            # enters negative; hi takes the sign extension
+                            sq = jnp.where(live, qdiff * qdiff, 0)
+                        else:
+                            st = st2
+                            sq = qdiff * qdiff
+                        nsl = sl + sq
+                        usl = sl ^ jnp.int32(-2147483648)
+                        unsl = nsl ^ jnp.int32(-2147483648)
+                        # sign extension via arithmetic shift — a ``sq < 0``
+                        # compare is folded to false by XLA ((x*x) < 0
+                        # simplification, unsound under int32 wrap)
+                        sh = sh + (unsl < usl).astype(jnp.int32) + (sq >> 31)
+                        sl = nsl
+                    return (*st, sh, sl)
+
+                return body
 
             zero = jnp.zeros(SHAPE, jnp.int32)
-            out = stream_words(words_ref, bi, body, (*st, zero, zero))
+            out = stream_words(
+                words_ref, bi, mk_body(False), mk_body(True), wfull,
+                (*st, zero, zero),
+            )
             return out[:9], (out[9], out[10])
 
         def sse_better(cand, best):
@@ -335,6 +404,16 @@ def _make_kernel(
         st = tuple(state[k] for k in range(9))
         valid = valid_ref[0, 0, 0]
         live_cur = lambda gt: gt < valid - FILTER_ORDER
+        if num_trials > 0:
+            # per-(block, tile) unmasked word bound: every word below it
+            # has all lanes live (min over the tile's valid, computed on
+            # the XLA side into SMEM)
+            wf = wf_ref[b, lane_tile]
+        # prev blocks are full-length: n_codes live codes, then the
+        # pad-to-8 zero slots (which must not advance state) — a STATIC
+        # bound, so the masked tail's live test is a scalar compare
+        pw_full = n_codes // 2
+        live_prev = lambda gt: gt < n_codes
 
         if num_trials > 0 and not warm_on_prev:
             # Block-independent mode: every block is a stream head, so the
@@ -343,14 +422,14 @@ def _make_kernel(
             # so its end state is reused. trials=N costs N measure passes
             # here instead of the sequential path's 3N.
             skip = valid < FILTER_ORDER
-            baseline = seed(st, cur_h_ref, jnp.full(SHAPE, True))
-            measured, min_sse = measure(baseline, cur_w_ref, b, live_cur)
+            baseline = seed(st, cur_h_ref)
+            measured, min_sse = measure(baseline, cur_w_ref, b, live_cur, wf)
             walker = tuple(jnp.where(skip, a, m) for a, m in zip(st, measured))
             best = st
             for _ in range(num_trials - 1):
                 candidate = walker
                 walker = seed(walker, cur_h_ref, valid >= FILTER_ORDER)
-                walker, sse = measure(walker, cur_w_ref, b, live_cur)
+                walker, sse = measure(walker, cur_w_ref, b, live_cur, wf)
                 walker = tuple(
                     jnp.where(skip, c, w) for c, w in zip(candidate, walker)
                 )
@@ -367,26 +446,32 @@ def _make_kernel(
         elif num_trials > 0:
             bb = bb_ref[0]
             has_prev = (b + bb) >= 1
-            hp = jnp.full(SHAPE, has_prev)
-            # prev blocks are full-length; also freeze past the T real codes
-            # (the pad-to-8 zero slots must not advance state)
-            nspb_live = lambda gt: hp & (gt < n_codes)
 
-            baseline = seed(st, cur_h_ref, jnp.full(SHAPE, True))
-            _, min_sse = measure(baseline, cur_w_ref, b, live_cur)
+            baseline = seed(st, cur_h_ref)
+            _, min_sse = measure(baseline, cur_w_ref, b, live_cur, wf)
             best = st
             walker = st
             for _ in range(num_trials):
-                walker = seed(walker, prev_h_ref, hp)
-                walker, _ = lax.cond(
-                    b == 0,
-                    lambda s: measure(s, prev0_w_ref, 0, nspb_live),
-                    lambda s: measure(s, prev_w_ref, b - 1, nspb_live),
-                    walker,
-                )
+                # stream heads (b + blocks_before == 0) have no previous
+                # block: the reference skips the warm-up measure entirely
+                # (src/aad_encoder.c:536-544 guard), so a scalar cond
+                # skips both the seed and the whole pass here
+                def prev_warm(w):
+                    w = seed(w, prev_h_ref)
+                    w, _ = lax.cond(
+                        b == 0,
+                        lambda s: measure(s, prev0_w_ref, 0, live_prev,
+                                          pw_full),
+                        lambda s: measure(s, prev_w_ref, b - 1, live_prev,
+                                          pw_full),
+                        w,
+                    )
+                    return w
+
+                walker = lax.cond(has_prev, prev_warm, lambda w: w, walker)
                 candidate = walker
                 walker = seed(walker, cur_h_ref, valid >= FILTER_ORDER)
-                walker, sse = measure(walker, cur_w_ref, b, live_cur)
+                walker, sse = measure(walker, cur_w_ref, b, live_cur, wf)
                 # valid < 4: the reference's early return — state stays at
                 # the candidate, error is zero (never better than baseline).
                 skip = valid < FILTER_ORDER
@@ -401,7 +486,7 @@ def _make_kernel(
             st = best
 
         # ---- block header: seed, round weights, emit state snapshot -----
-        st = seed(st, cur_h_ref, jnp.full(SHAPE, True))
+        st = seed(st, cur_h_ref)
         maxabs = jnp.zeros(SHAPE, jnp.int32)
         for k in range(4, 8):
             w_ = st[k]
@@ -427,7 +512,21 @@ def _make_kernel(
         # ``code << shift`` is a constant shift and the flush store is
         # unconditional (a traced shift amount + per-word conditional flush
         # measured ~7x the cost of a measure pass).
-        def enc_group(g, ws, carry):
+        def enc_group_u(g, ws, carry):
+            """All 8 codes of the group live (g < n_codes // 8, static)."""
+            st = carry
+            cw = None
+            for j in range(4):
+                lo = (ws[j] << 16) >> 16
+                hi = ws[j] >> 16
+                for k, sample in ((0, lo), (1, hi)):
+                    code, _q, st = sample_step(sample, st)
+                    piece = code << (4 * (2 * j + k))
+                    cw = piece if cw is None else cw | piece
+            codes_ref[0, g, 0] = cw
+            return st
+
+        def enc_group_m(g, ws, carry):
             st = carry
             cw = None
             for j in range(4):
@@ -444,7 +543,8 @@ def _make_kernel(
             codes_ref[0, g, 0] = cw
             return st
 
-        st = stream_groups4(cur_w_ref, b, enc_group, st)
+        st = stream_groups4(cur_w_ref, b, enc_group_u, enc_group_m,
+                            n_codes // 8, st)
         if emit_state:
             for k in range(9):
                 fstate_ref[0, 0, k] = st[k]
@@ -575,9 +675,11 @@ def _fused_impl(
     RS = R * SUBLANES
     W2 = -(-T // 8) * 4          # packed sample words per block (pad to 8 samples)
     stream = R * nspb > MAX_NSPB_RESIDENT
+    chunk = None
     if stream:
-        # chunked-DMA variant: words stay in HBM, pad to whole chunks
-        W2 = -(-W2 // STREAM_CHUNK) * STREAM_CHUNK
+        # chunked-DMA variant: words stay in HBM; prefer a chunk that
+        # divides the natural word count so no pad pass is needed
+        W2, chunk = _pick_stream_chunk(W2)
     W8 = W2 // 4                 # code words per block
 
     Lp = -(-L // (R * TILE)) * (R * TILE)
@@ -618,6 +720,12 @@ def _fused_impl(
     cur_w = pack_lane_words(flat, FILTER_ORDER)
     cur_h = lane_tiles(flat[..., :FILTER_ORDER], FILTER_ORDER)
     va_t = lane_tiles(valid[..., None], 1)
+    # per-(block, tile) unmasked word bound for the measure passes: below
+    # it every lane of the tile is live (pad lanes carry valid=0, so
+    # boundary tiles fall back to the fully-masked path)
+    va_p = jnp.pad(valid, ((0, 0), (0, Lp - L)))
+    vmin = jnp.min(va_p.reshape(B, n_tiles, RS * LANES), axis=-1)
+    wf_arr = jnp.clip((vmin - FILTER_ORDER) // 2, 0, W2).astype(jnp.int32)
 
     ii0 = jnp.pad(step_index.astype(jnp.int32), (0, Lp - L))
     ii_t = ii0.reshape(n_tiles, RS, LANES)[:, None]
@@ -631,7 +739,7 @@ def _fused_impl(
     if stream:
         word_spec = [pl.BlockSpec(memory_space=pl.ANY)]
         stream_scratch = [
-            pltpu.VMEM((2, STREAM_CHUNK, RS, LANES), jnp.int32),
+            pltpu.VMEM((2, chunk, RS, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
@@ -664,7 +772,7 @@ def _fused_impl(
                              memory_space=pltpu.VMEM),
             ]
         inputs = (cur_w, cur_w, prev0_w, cur_h, prev_h, va_t,
-                  ii_t, h_t, w_t, jnp.reshape(blocks_before, (1,)))
+                  ii_t, h_t, w_t, jnp.reshape(blocks_before, (1,)), wf_arr)
         in_specs = word_spec + prev_word_specs + [
             lane_tile_spec(FILTER_ORDER),
             lane_tile_spec(FILTER_ORDER),
@@ -676,9 +784,10 @@ def _fused_impl(
             pl.BlockSpec((1, 4, RS, LANES),
                          lambda i, b: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
     else:
-        inputs = (cur_w, cur_h, va_t, ii_t, h_t, w_t)
+        inputs = (cur_w, cur_h, va_t, ii_t, h_t, w_t, wf_arr)
         in_specs = word_spec + [
             lane_tile_spec(FILTER_ORDER),
             lane_tile_spec(1),
@@ -688,6 +797,7 @@ def _fused_impl(
                          lambda i, b: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, RS, LANES),
                          lambda i, b: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
     out_specs = [
         pl.BlockSpec((1, W8, 1, RS, LANES),
@@ -709,7 +819,7 @@ def _fused_impl(
         )
     outs = pl.pallas_call(
         _make_kernel(bits_per_sample, corrections, num_trials, W2, T,
-                     stream_chunk=STREAM_CHUNK if stream else None, r=R,
+                     stream_chunk=chunk, r=R,
                      warm_on_prev=warm_on_prev, emit_state=emit_state),
         grid=grid,
         in_specs=in_specs,
