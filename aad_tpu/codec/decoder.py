@@ -486,9 +486,15 @@ def decode(
     the int16 value range — the same convention as the reference's
     ``DecodeWhole`` output buffers (reference: src/aad_decoder.c:478).
 
-    ``engine="auto"`` picks the fused device pipeline on TPU; on
-    accelerator-less hosts it prefers the native codec (milliseconds vs a
-    per-shape jit compile). Pass an explicit engine to override.
+    ``engine="auto"`` prefers the native codec: a one-shot bytes-in →
+    host-array-out decode is bound by dispatch latency plus two host↔device
+    transfers (payload up, PCM down), not by compute — the fused kernel
+    finishes the device work in well under a millisecond while the round
+    trip costs orders of magnitude more (the decoder mirror of the encode
+    ``auto`` policy, codec/encoder.py::encode). The TPU pays off through
+    the device-resident APIs — :class:`Decoder` (whose output can stay on
+    device), ``decode_batch``, the sharded pipelines — and via explicit
+    ``engine="fused"/"scan"/"pallas"``.
 
     ``strict=False`` opts into the reference's decode-what's-there behaviour
     on truncated payloads: available whole blocks decode, the missing tail
@@ -514,13 +520,10 @@ def decode(
         )
     )
     if engine == "auto" and not truncated:
-        from ..ops.decode import _on_tpu
+        from .. import native
 
-        if not _on_tpu():
-            from .. import native
-
-            if native.available():
-                return native.decode(buf)
+        if native.available():
+            return native.decode(buf)
     elif engine == "native":
         if truncated:
             raise InvalidArgumentError(

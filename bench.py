@@ -230,6 +230,10 @@ def main() -> None:
     if e2e:
         extra["decode_e2e_samples_per_sec"] = round(e2e)
         extra["decode_e2e_vs_baseline"] = round(e2e / baseline, 2)
+    e2e_dev = measure_decode_e2e_device(data, header)
+    if e2e_dev:
+        extra["decode_e2e_device_samples_per_sec"] = round(e2e_dev)
+        extra["decode_e2e_device_vs_baseline"] = round(e2e_dev / baseline, 2)
     par_value = measure_encode_parallel()
     if par_value:
         extra["encode_parallel_samples_per_sec"] = round(par_value)
@@ -390,14 +394,42 @@ def measure_encode_parallel():
 
 
 def measure_decode_e2e(data: bytes, header):
-    """Transfer-inclusive decode metric (VERDICT round 2, item 8).
+    """User-facing decode metric: the public ``aad_tpu.decode()`` wall time.
 
-    Wall time for ``bytes in -> int16 PCM out`` through the public
-    ``Decoder.decode_payload_ondevice`` path: host wire-word view, payload
+    ``bytes in -> PCM array out`` exactly as a caller gets it, with the
+    default ``engine="auto"`` dispatch — which routes a one-shot host
+    decode to the native engine (the device round trip costs more than the
+    whole decode; see codec/decoder.py::decode). The TPU-path equivalent
+    is ``decode_e2e_device``. Returns samples/s; 0 on failure.
+    """
+    try:
+        import aad_tpu
+
+        samples = header.num_samples * header.num_channels
+        h, out = aad_tpu.decode(data)  # warm
+        assert out.shape == (header.num_channels, header.num_samples)
+        best = 0.0
+        for _ in range(3):
+            t0 = time.time()
+            _, out = aad_tpu.decode(data)
+            _ = out[0, -1], out[-1, 0]
+            best = max(best, samples / (time.time() - t0))
+        return best
+    except Exception:
+        return 0
+
+
+def measure_decode_e2e_device(data: bytes, header):
+    """Transfer-inclusive device decode metric (VERDICT round 2, item 8).
+
+    Wall time for ``bytes in -> int16 PCM out`` through
+    ``Decoder.decode_payload_ondevice``: host wire-word view, payload
     upload, the fused device pipeline, sample download and the host int16
-    view — the number a caller of ``aad_tpu.decode()`` actually gets,
-    unlike the headline metric's device-resident loop. Returns samples/s;
-    0 on failure.
+    view — what a caller pinning the TPU path pays per one-shot stream,
+    unlike the headline metric's device-resident loop. (Through this
+    harness's TPU tunnel the transfers dominate; the ``auto`` policy
+    routes one-shot decodes natively for exactly that reason.) Returns
+    samples/s; 0 on failure.
     """
     try:
         from aad_tpu import FILE_HEADER_SIZE, decode_header

@@ -48,6 +48,18 @@ class TestGolden:
         )
         assert native.encode(pcm, cfg) == (fixture_dir / aad).read_bytes()
 
+    def test_public_decode_auto_routes_native(self, fixture_dir):
+        """engine="auto" one-shot decode prefers native when available —
+        a bytes-in -> host-array-out call is transfer/dispatch-bound, not
+        compute-bound (codec/decoder.py::decode); output must still match
+        the JAX engines bit-exactly."""
+        from aad_tpu import decode
+
+        data = (fixture_dir / "sin300Hz.aad").read_bytes()
+        _, auto_pcm = decode(data)
+        _, scan_pcm = decode(data, engine="scan")
+        np.testing.assert_array_equal(auto_pcm, scan_pcm)
+
 
 class TestCrossImplementation:
     @pytest.mark.parametrize("bps", [2, 3, 4])
