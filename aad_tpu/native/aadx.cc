@@ -12,6 +12,10 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__x86_64__) && defined(__GNUC__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr int kFilterOrder = 4;
@@ -278,6 +282,295 @@ int64_t measure(Lms* s, const int32_t* x, uint32_t n, uint32_t bps) {
   return sse;
 }
 
+// ---- AVX-512 block-parallel decode ----------------------------------------
+//
+// Decode is embarrassingly parallel across blocks: every block header carries
+// the complete predictor state (reference: src/aad_decoder.c:301-352 re-seeds
+// per block), so (block, channel) pairs are independent lanes — the same lane
+// concept as the TPU kernels, mapped onto AVX-512's 16 int32 lanes. Two
+// 16-lane groups run interleaved so the per-sample dependent chain of one
+// group hides the other's gather/ALU latency. All arithmetic is int32
+// wraparound (vpmulld/vpsrad match -fwrapv scalar semantics bit-for-bit).
+//
+// Per unit, a lane's code bytes are contiguous (the LCM interleave places
+// each channel's cb = lcm/8 bytes consecutively within the unit), so one
+// u32 gather per lane covers U units' worth of codes:
+//   bps=4: cb=1, spu=2, U = nch==1 ? 4 : 2   (8 / 4 samples per gather)
+//   bps=2: cb=1, spu=4, U = nch==1 ? 4 : 2   (16 / 8 samples per gather)
+//   bps=3: cb=3, spu=8, U = 1                (8 samples per gather)
+// The gather may read up to 3 bytes past a lane's last unit; the dispatcher
+// keeps 4 bytes of tail slack inside the payload, so no out-of-bounds read.
+
+#if defined(__x86_64__) && defined(__GNUC__)
+#define AADX_HAVE_SIMD 1
+
+#pragma GCC push_options
+#pragma GCC target("avx512f")
+
+struct LaneState {
+  __m512i h[kFilterOrder];
+  __m512i w[kFilterOrder];
+  __m512i idx;
+};
+
+// One decode transition for 16 lanes; mirrors Lms::decode exactly.
+template <int BPS>
+inline __m512i step16(LaneState& s, __m512i code, const int32_t* steptab,
+                      __m512i deltas) {
+  const __m512i absmask = _mm512_set1_epi32((1 << (BPS - 1)) - 1);
+  const __m512i signbit = _mm512_set1_epi32(1 << (BPS - 1));
+  const __m512i halfv = _mm512_set1_epi32(kHalf);
+  const __m512i slot = _mm512_srai_epi32(
+      _mm512_add_epi32(s.idx, _mm512_set1_epi32(kQ4Half)), kQ4);
+  const __m512i st = _mm512_i32gather_epi32(slot, steptab, 4);
+  const __m512i mag = _mm512_and_si512(code, absmask);
+  __m512i q = _mm512_srai_epi32(
+      _mm512_mullo_epi32(
+          st, _mm512_or_si512(_mm512_slli_epi32(mag, 1),
+                              _mm512_set1_epi32(1))),
+      BPS - 1);
+  const __mmask16 neg = _mm512_test_epi32_mask(code, signbit);
+  q = _mm512_mask_sub_epi32(q, neg, _mm512_setzero_si512(), q);
+  __m512i acc = halfv;
+  for (int k = 0; k < kFilterOrder; ++k)
+    acc = _mm512_add_epi32(acc, _mm512_mullo_epi32(s.h[k], s.w[k]));
+  const __m512i pred = _mm512_srai_epi32(acc, kFixedDigits);
+  __m512i samp = _mm512_add_epi32(q, pred);
+  samp = _mm512_min_epi32(samp, _mm512_set1_epi32(32767));
+  samp = _mm512_max_epi32(samp, _mm512_set1_epi32(-32768));
+  // adapt_index (pre-update state, like the scalar order)
+  __m512i nidx = _mm512_add_epi32(s.idx, _mm512_permutexvar_epi32(mag, deltas));
+  nidx = _mm512_max_epi32(nidx, _mm512_setzero_si512());
+  s.idx = _mm512_min_epi32(nidx, _mm512_set1_epi32(kIndexMax));
+  for (int k = 0; k < kFilterOrder; ++k)
+    s.w[k] = _mm512_add_epi32(
+        s.w[k],
+        _mm512_srai_epi32(_mm512_add_epi32(_mm512_mullo_epi32(q, s.h[k]), halfv),
+                          kFixedDigits + kLmsShift));
+  s.h[3] = s.h[2];
+  s.h[2] = s.h[1];
+  s.h[1] = s.h[0];
+  s.h[0] = samp;
+  return samp;
+}
+
+// Code extraction from a little-endian-gathered u32 covering U units.
+// k is the sample index within the gather; shifts are compile-time-foldable
+// once the SPG loop is unrolled (BPS/NCH constexpr).
+template <int BPS, int NCH>
+inline __m512i extract_code(__m512i gw, int k) {
+  if (BPS == 4) {
+    const int byte = (k / 2) * NCH;
+    const int sh = 8 * byte + ((k & 1) ? 0 : 4);
+    return _mm512_and_si512(_mm512_srli_epi32(gw, sh),
+                            _mm512_set1_epi32(0xF));
+  }
+  if (BPS == 2) {
+    const int byte = (k / 4) * NCH;
+    const int sh = 8 * byte + (6 - 2 * (k & 3));
+    return _mm512_and_si512(_mm512_srli_epi32(gw, sh),
+                            _mm512_set1_epi32(0x3));
+  }
+  // BPS == 3: big-endian 24-bit word from the 3 gathered bytes
+  const __m512i b0 = _mm512_and_si512(gw, _mm512_set1_epi32(0xFF));
+  const __m512i b1 = _mm512_and_si512(gw, _mm512_set1_epi32(0xFF00));
+  const __m512i b2 =
+      _mm512_and_si512(_mm512_srli_epi32(gw, 16), _mm512_set1_epi32(0xFF));
+  const __m512i w24 = _mm512_or_si512(
+      _mm512_or_si512(_mm512_slli_epi32(b0, 16), b1), b2);
+  return _mm512_and_si512(_mm512_srli_epi32(w24, 21 - 3 * k),
+                          _mm512_set1_epi32(0x7));
+}
+
+// Decode G interleaved 16-lane groups' worth of full blocks starting at
+// block index b0 (byte offset off0 into data). Writes raw per-channel rows
+// (MS recombination is a caller-side pass).
+template <int BPS, int NCH, int G>
+void decode_chunk_simd(const uint8_t* data, size_t off0, uint32_t b0,
+                       const Geometry& g, const AadxInfo& info, int32_t* pcm) {
+  constexpr int kLanes = 16;
+  constexpr int BPG = kLanes / NCH;  // blocks per 16-lane group
+  constexpr int cb = (BPS == 3) ? 3 : 1;
+  constexpr int U = (BPS == 3) ? 1 : (NCH == 1 ? 4 : 2);
+  constexpr int spu = (BPS == 4) ? 2 : (BPS == 2 ? 4 : 8);
+  constexpr int SPG = U * spu;
+  const uint32_t spb = info.num_samples_per_block;
+  const uint32_t n_units = (spb - kFilterOrder) / spu;
+  const uint32_t ub = g.unit_bytes;
+
+  alignas(64) int32_t hbuf[G][kFilterOrder][kLanes];
+  alignas(64) int32_t wbuf[G][kFilterOrder][kLanes];
+  alignas(64) int32_t ibuf[G][kLanes];
+  alignas(64) int32_t dbuf[G][kLanes];  // data byte offsets
+  alignas(64) int32_t obuf[G][kLanes];  // output byte offsets
+
+  for (int grp = 0; grp < G; ++grp) {
+    for (int l = 0; l < kLanes; ++l) {
+      const uint32_t bi = grp * BPG + uint32_t(l) / NCH;
+      const uint32_t ch = uint32_t(l) % NCH;
+      const size_t bs = off0 + size_t(bi) * g.block_size;
+      const uint8_t* hp = data + bs + ch * (2 + 4 * kFilterOrder);
+      const uint32_t tag = rd_u16(hp);
+      ibuf[grp][l] = int32_t(tag >> kQ4);
+      const uint32_t shift = tag & 0xF;
+      for (int k = 0; k < kFilterOrder; ++k) {
+        wbuf[grp][k][l] = int32_t(int16_t(rd_u16(hp + 2 + 4 * k))) << shift;
+        hbuf[grp][k][l] = int16_t(rd_u16(hp + 4 + 4 * k));
+      }
+      const size_t ob = size_t(ch) * info.num_samples +
+                        size_t(b0 + bi) * spb;
+      for (int t = 0; t < kFilterOrder; ++t)
+        pcm[ob + t] = hbuf[grp][kFilterOrder - 1 - t][l];
+      dbuf[grp][l] = int32_t(bs + g.header_bytes + ch * cb);
+      obuf[grp][l] = int32_t((ob + kFilterOrder) * 4);
+    }
+  }
+
+  const int32_t* steptab = tables().step;
+  alignas(64) int32_t dl[16] = {0};
+  {
+    const int32_t* d = tables().deltas(BPS);
+    for (int i = 0; i < (1 << (BPS - 1)); ++i) dl[i] = d[i];
+  }
+  const __m512i deltas = _mm512_load_si512(dl);
+
+  LaneState st[G];
+  __m512i doff[G], ooff[G];
+  for (int grp = 0; grp < G; ++grp) {
+    for (int k = 0; k < kFilterOrder; ++k) {
+      st[grp].h[k] = _mm512_load_si512(hbuf[grp][k]);
+      st[grp].w[k] = _mm512_load_si512(wbuf[grp][k]);
+    }
+    st[grp].idx = _mm512_load_si512(ibuf[grp]);
+    doff[grp] = _mm512_load_si512(dbuf[grp]);
+    ooff[grp] = _mm512_load_si512(obuf[grp]);
+  }
+
+  const __m512i four = _mm512_set1_epi32(4);
+  uint32_t u = 0;
+  for (; u + U <= n_units; u += U) {
+    __m512i gw[G];
+    for (int grp = 0; grp < G; ++grp) {
+      gw[grp] = _mm512_i32gather_epi32(doff[grp], data, 1);
+      doff[grp] = _mm512_add_epi32(doff[grp], _mm512_set1_epi32(U * ub));
+    }
+    for (int k = 0; k < SPG; ++k) {
+      for (int grp = 0; grp < G; ++grp) {
+        const __m512i code = extract_code<BPS, NCH>(gw[grp], k);
+        const __m512i samp = step16<BPS>(st[grp], code, steptab, deltas);
+        _mm512_i32scatter_epi32(pcm, ooff[grp], samp, 1);
+        ooff[grp] = _mm512_add_epi32(ooff[grp], four);
+      }
+    }
+  }
+  // tail units one at a time (same gather; only the low unit's codes used)
+  for (; u < n_units; ++u) {
+    __m512i gw[G];
+    for (int grp = 0; grp < G; ++grp) {
+      gw[grp] = _mm512_i32gather_epi32(doff[grp], data, 1);
+      doff[grp] = _mm512_add_epi32(doff[grp], _mm512_set1_epi32(ub));
+    }
+    for (int k = 0; k < spu; ++k) {
+      for (int grp = 0; grp < G; ++grp) {
+        const __m512i code = extract_code<BPS, NCH>(gw[grp], k);
+        const __m512i samp = step16<BPS>(st[grp], code, steptab, deltas);
+        _mm512_i32scatter_epi32(pcm, ooff[grp], samp, 1);
+        ooff[grp] = _mm512_add_epi32(ooff[grp], four);
+      }
+    }
+  }
+}
+
+// Vectorised mid/side recombination over the first n samples of both rows.
+void ms_recombine_simd(int32_t* c0, int32_t* c1, uint32_t n) {
+  const __m512i lo = _mm512_set1_epi32(-32768);
+  const __m512i hi = _mm512_set1_epi32(32767);
+  uint32_t t = 0;
+  for (; t + 16 <= n; t += 16) {
+    const __m512i mid = _mm512_loadu_si512(c0 + t);
+    const __m512i side = _mm512_loadu_si512(c1 + t);
+    __m512i l = _mm512_add_epi32(mid, side);
+    __m512i r = _mm512_sub_epi32(mid, side);
+    l = _mm512_max_epi32(_mm512_min_epi32(l, hi), lo);
+    r = _mm512_max_epi32(_mm512_min_epi32(r, hi), lo);
+    _mm512_storeu_si512(c0 + t, l);
+    _mm512_storeu_si512(c1 + t, r);
+  }
+  for (; t < n; ++t) {
+    const int32_t mid = c0[t], side = c1[t];
+    c0[t] = clip16(mid + side);
+    c1[t] = clip16(mid - side);
+  }
+}
+
+// Decode full blocks [0, nblocks) with the widest chunks available; returns
+// the number of blocks actually decoded (a multiple of 16/nch).
+template <int BPS, int NCH>
+uint32_t decode_blocks_simd(const uint8_t* data, uint32_t nblocks,
+                            const Geometry& g, const AadxInfo& info,
+                            int32_t* pcm) {
+  constexpr uint32_t BPG = 16 / NCH;
+  uint32_t b = 0;
+  while (b + 2 * BPG <= nblocks) {
+    decode_chunk_simd<BPS, NCH, 2>(
+        data, kHeaderSize + size_t(b) * g.block_size, b, g, info, pcm);
+    b += 2 * BPG;
+  }
+  if (b + BPG <= nblocks) {
+    decode_chunk_simd<BPS, NCH, 1>(
+        data, kHeaderSize + size_t(b) * g.block_size, b, g, info, pcm);
+    b += BPG;
+  }
+  if (info.ch_process_method == 1 && b)
+    ms_recombine_simd(pcm, pcm + info.num_samples,
+                      b * info.num_samples_per_block);
+  return b;
+}
+
+#pragma GCC pop_options
+
+// Dispatch: how many leading full blocks the SIMD path may decode.
+// Requires every gathered u32 to stay inside [data, data+size): each lane's
+// last gather reads at most 3 bytes past its block's data section, so the
+// final vectorised block needs 4 bytes of slack after it.
+uint32_t simd_decode_prefix(const AadxInfo& info, const Geometry& g,
+                            size_t size) {
+  static const bool ok = __builtin_cpu_supports("avx512f");
+  if (!ok) return 0;
+  if (size > (size_t(1) << 30)) return 0;  // int32 gather offsets
+  if (size_t(info.num_channels) * info.num_samples * 4 > (size_t(1) << 30))
+    return 0;  // int32 scatter offsets
+  const uint32_t spb = info.num_samples_per_block;
+  uint32_t nb = info.num_samples / spb;  // blocks emitting all spb samples
+  const size_t avail = size > kHeaderSize ? size - kHeaderSize : 0;
+  const uint32_t on_wire = uint32_t(std::min<size_t>(avail / g.block_size,
+                                                     0xFFFFFFFFu));
+  nb = std::min(nb, on_wire);
+  while (nb && kHeaderSize + size_t(nb) * g.block_size + 4 > size) --nb;
+  const uint32_t bpg = 16 / info.num_channels;
+  return (nb / bpg) * bpg;
+}
+
+uint32_t run_simd_decode(const uint8_t* data, size_t size,
+                         const AadxInfo& info, const Geometry& g,
+                         int32_t* pcm) {
+  const uint32_t nb = simd_decode_prefix(info, g, size);
+  if (!nb) return 0;
+  switch (info.bits_per_sample * 10 + info.num_channels) {
+    case 41: return decode_blocks_simd<4, 1>(data, nb, g, info, pcm);
+    case 42: return decode_blocks_simd<4, 2>(data, nb, g, info, pcm);
+    case 31: return decode_blocks_simd<3, 1>(data, nb, g, info, pcm);
+    case 32: return decode_blocks_simd<3, 2>(data, nb, g, info, pcm);
+    case 21: return decode_blocks_simd<2, 1>(data, nb, g, info, pcm);
+    case 22: return decode_blocks_simd<2, 2>(data, nb, g, info, pcm);
+    default: return 0;
+  }
+}
+
+#else
+#define AADX_HAVE_SIMD 0
+#endif  // x86_64
+
 }  // namespace
 
 // ---- public API -----------------------------------------------------------
@@ -351,6 +644,16 @@ int aadx_decode(const uint8_t* data, size_t size, int32_t* pcm,
   int32_t* chans[kMaxChannels];
   size_t off = kHeaderSize;
   uint32_t done = 0;
+#if AADX_HAVE_SIMD
+  // Block-parallel AVX-512 fast path for the leading full blocks; every
+  // block re-seeds its state from its header, so the scalar loop resumes
+  // cleanly on whatever remainder the vector path leaves.
+  {
+    const uint32_t nb = run_simd_decode(data, size, *info, g, pcm);
+    off += size_t(nb) * g.block_size;
+    done += nb * info->num_samples_per_block;
+  }
+#endif
   while (done < info->num_samples && off < size) {
     const uint32_t limit = info->num_samples - done;
     const uint32_t emit = std::min(info->num_samples_per_block, limit);
