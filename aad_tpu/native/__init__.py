@@ -98,6 +98,7 @@ def _load() -> "ctypes.CDLL | None":
         lib.aadx_parse_header.restype = ctypes.c_int
         lib.aadx_decode.restype = ctypes.c_int
         lib.aadx_encode.restype = ctypes.c_int
+        lib.aadx_encode_parallel.restype = ctypes.c_int
         lib.aadx_encode_bound.restype = ctypes.c_size_t
         lib.aadx_block_geometry.restype = ctypes.c_int
         _lib = lib
@@ -179,6 +180,42 @@ def encode(pcm: np.ndarray, config) -> bytes:
         ctypes.byref(out_size),
     )
     _raise(rc, "encode")
+    return out[: out_size.value].tobytes()
+
+
+def encode_parallel(pcm: np.ndarray, config) -> bytes:
+    """Native block-independent (parallel-mode) encode.
+
+    Byte-identical to ``aad_tpu.encode(pcm, config, parallel_blocks=True)``
+    at chunk_blocks=1 / warm_passes=0 (every block a stream head); the
+    host-engine counterpart of ops/encode.py::encode_blocks_parallel.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native codec unavailable")
+    pcm = np.ascontiguousarray(pcm, dtype=np.int32)
+    nch, n = pcm.shape
+    bound = lib.aadx_encode_bound(
+        nch, n, config.bits_per_sample, config.max_block_size
+    )
+    if bound == 0:
+        raise InvalidFormatError("bad encode parameters (native)")
+    out = np.empty(bound, dtype=np.uint8)
+    out_size = ctypes.c_size_t()
+    rc = lib.aadx_encode_parallel(
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nch,
+        n,
+        config.sampling_rate,
+        config.bits_per_sample,
+        config.max_block_size,
+        config.ch_process_method,
+        config.num_encode_trials,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.size,
+        ctypes.byref(out_size),
+    )
+    _raise(rc, "encode_parallel")
     return out[: out_size.value].tobytes()
 
 

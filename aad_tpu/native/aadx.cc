@@ -571,6 +571,368 @@ uint32_t run_simd_decode(const uint8_t* data, size_t size,
   }
 }
 
+// ---- AVX-512 block-parallel encode (parallel_blocks mode) ------------------
+//
+// The block-independent encode mode makes every block a stream head, so
+// (block, channel) lanes are independent for the WHOLE trial search + emit —
+// the same lane map as the SIMD decoder. The quantiser uses the binary-search
+// formulation instead of idiv (no vector integer division exists); it agrees
+// with the reference division for every reachable input — the equivalence the
+// Pallas engines already pin (ops/pallas_encode_fused.py, docs/DESIGN.md §3).
+
+#pragma GCC push_options
+#pragma GCC target("avx512f")
+
+// One encode transition for 16 lanes; mirrors Lms::encode.
+template <int BPS>
+inline void enc_step16(LaneState& s, __m512i x, const int32_t* steptab,
+                       __m512i deltas, __m512i* code_out, __m512i* qdiff_out) {
+  const __m512i zero = _mm512_setzero_si512();
+  const __m512i one = _mm512_set1_epi32(1);
+  const __m512i halfv = _mm512_set1_epi32(kHalf);
+  const __m512i slot = _mm512_srai_epi32(
+      _mm512_add_epi32(s.idx, _mm512_set1_epi32(kQ4Half)), kQ4);
+  const __m512i st = _mm512_i32gather_epi32(slot, steptab, 4);
+  __m512i acc = halfv;
+  for (int k = 0; k < kFilterOrder; ++k)
+    acc = _mm512_add_epi32(acc, _mm512_mullo_epi32(s.h[k], s.w[k]));
+  const __m512i pred = _mm512_srai_epi32(acc, kFixedDigits);
+  const __m512i diff = _mm512_sub_epi32(x, pred);
+  const __mmask16 neg = _mm512_cmp_epi32_mask(diff, zero, _MM_CMPINT_LT);
+  const __m512i scaled =
+      _mm512_slli_epi32(_mm512_abs_epi32(diff), BPS - 2);
+  // binary-search quantiser (exactly ops/pallas_encode_fused.py's R>=2 form)
+  __m512i mc = _mm512_maskz_set1_epi32(
+      _mm512_cmp_epi32_mask(scaled, _mm512_slli_epi32(st, BPS - 2),
+                            _MM_CMPINT_NLT),
+      1);
+  for (int i = BPS - 3; i >= 0; --i) {
+    const __m512i th = _mm512_mullo_epi32(
+        _mm512_slli_epi32(_mm512_or_si512(_mm512_slli_epi32(mc, 1), one), i),
+        st);
+    mc = _mm512_add_epi32(
+        _mm512_slli_epi32(mc, 1),
+        _mm512_maskz_set1_epi32(
+            _mm512_cmp_epi32_mask(scaled, th, _MM_CMPINT_NLT), 1));
+  }
+  const __m512i qmag = _mm512_srai_epi32(
+      _mm512_mullo_epi32(st, _mm512_or_si512(_mm512_slli_epi32(mc, 1), one)),
+      BPS - 1);
+  const __m512i qdiff = _mm512_mask_sub_epi32(qmag, neg, zero, qmag);
+  *code_out = _mm512_mask_or_epi32(mc, neg, mc,
+                                   _mm512_set1_epi32(1 << (BPS - 1)));
+  *qdiff_out = qdiff;
+  __m512i nidx = _mm512_add_epi32(s.idx, _mm512_permutexvar_epi32(mc, deltas));
+  nidx = _mm512_max_epi32(nidx, zero);
+  s.idx = _mm512_min_epi32(nidx, _mm512_set1_epi32(kIndexMax));
+  __m512i samp = _mm512_add_epi32(qdiff, pred);
+  samp = _mm512_min_epi32(samp, _mm512_set1_epi32(32767));
+  samp = _mm512_max_epi32(samp, _mm512_set1_epi32(-32768));
+  for (int k = 0; k < kFilterOrder; ++k)
+    s.w[k] = _mm512_add_epi32(
+        s.w[k],
+        _mm512_srai_epi32(
+            _mm512_add_epi32(_mm512_mullo_epi32(qdiff, s.h[k]), halfv),
+            kFixedDigits + kLmsShift));
+  s.h[3] = s.h[2];
+  s.h[2] = s.h[1];
+  s.h[1] = s.h[0];
+  s.h[0] = samp;
+}
+
+// history <- int16-cast first 4 samples of the group's tm columns
+inline void seed16(LaneState& s, const int32_t* tm, int lanes_total, int g) {
+  for (int k = 0; k < kFilterOrder; ++k) {
+    const __m512i x =
+        _mm512_loadu_si512(tm + size_t(k) * lanes_total + g * 16);
+    s.h[kFilterOrder - 1 - k] =
+        _mm512_srai_epi32(_mm512_slli_epi32(x, 16), 16);
+  }
+}
+
+struct SseAcc {
+  __m512i lo, hi;  // lanes 0-7 / 8-15 as i64
+};
+
+// Measure pass over one group: seed, encode [4, nspb), wrapped-square SSE.
+template <int BPS>
+void measure16(LaneState& s, const int32_t* tm, int lanes_total, int g,
+               uint32_t nspb, const int32_t* steptab, __m512i deltas,
+               SseAcc* sse) {
+  seed16(s, tm, lanes_total, g);
+  __m512i acc_lo = _mm512_setzero_si512();
+  __m512i acc_hi = _mm512_setzero_si512();
+  for (uint32_t t = kFilterOrder; t < nspb; ++t) {
+    const __m512i x =
+        _mm512_loadu_si512(tm + size_t(t) * lanes_total + g * 16);
+    __m512i code, q;
+    enc_step16<BPS>(s, x, steptab, deltas, &code, &q);
+    const __m512i sq = _mm512_mullo_epi32(q, q);  // wrapped int32 product
+    acc_lo = _mm512_add_epi64(
+        acc_lo, _mm512_cvtepi32_epi64(_mm512_castsi512_si256(sq)));
+    acc_hi = _mm512_add_epi64(
+        acc_hi, _mm512_cvtepi32_epi64(_mm512_extracti64x4_epi64(sq, 1)));
+  }
+  sse->lo = acc_lo;
+  sse->hi = acc_hi;
+}
+
+// The reference's min_rmse > tmp_rmse adoption rule on wrapped sums (both
+// non-negative AND candidate strictly smaller — see Lms-side sse_better).
+inline __mmask16 sse_better16(const SseAcc& cand, const SseAcc& best) {
+  const __m512i zero = _mm512_setzero_si512();
+  const __mmask8 lo = _mm512_cmp_epi64_mask(cand.lo, zero, _MM_CMPINT_NLT) &
+                      _mm512_cmp_epi64_mask(best.lo, zero, _MM_CMPINT_NLT) &
+                      _mm512_cmp_epi64_mask(cand.lo, best.lo, _MM_CMPINT_LT);
+  const __mmask8 hi = _mm512_cmp_epi64_mask(cand.hi, zero, _MM_CMPINT_NLT) &
+                      _mm512_cmp_epi64_mask(best.hi, zero, _MM_CMPINT_NLT) &
+                      _mm512_cmp_epi64_mask(cand.hi, best.hi, _MM_CMPINT_LT);
+  return __mmask16(lo) | (__mmask16(hi) << 8);
+}
+
+inline void blend_state(LaneState& dst, __mmask16 take, const LaneState& src) {
+  for (int k = 0; k < kFilterOrder; ++k) {
+    dst.h[k] = _mm512_mask_blend_epi32(take, dst.h[k], src.h[k]);
+    dst.w[k] = _mm512_mask_blend_epi32(take, dst.w[k], src.w[k]);
+  }
+  dst.idx = _mm512_mask_blend_epi32(take, dst.idx, src.idx);
+}
+
+inline LaneState zero_state() {
+  LaneState s;
+  for (int k = 0; k < kFilterOrder; ++k)
+    s.h[k] = s.w[k] = _mm512_setzero_si512();
+  s.idx = _mm512_setzero_si512();
+  return s;
+}
+
+// Encode one chunk of G*16/NCH full blocks starting at block b0; writes the
+// blocks' wire bytes directly into out (headers + interleaved data units).
+template <int BPS, int NCH, int G>
+void encode_chunk_simd(const int32_t* pcm, uint32_t num_samples, bool ms,
+                       uint32_t num_trials, uint32_t b0, const Geometry& g,
+                       uint8_t* out, std::vector<int32_t>& tm,
+                       std::vector<uint8_t>& tcodes) {
+  constexpr int kLanes = 16 * G;
+  constexpr int BPC = kLanes / NCH;  // blocks per chunk
+  constexpr int cb = (BPS == 3) ? 3 : 1;
+  constexpr int spu = (BPS == 4) ? 2 : (BPS == 2 ? 4 : 8);
+  const uint32_t nspb = g.samples_per_block;
+  const uint32_t n_units = (nspb - kFilterOrder) / spu;
+
+  // stage time-major [t][lane] with the per-block MS transform applied
+  for (int bi = 0; bi < BPC; ++bi) {
+    const int32_t* src0 = pcm + size_t(b0 + bi) * nspb;
+    if (NCH == 2) {
+      const int32_t* src1 = src0 + num_samples;
+      if (ms) {
+        for (uint32_t t = 0; t < nspb; ++t) {
+          const int32_t a = src0[t], b = src1[t];
+          tm[size_t(t) * kLanes + bi * 2] = clip16((a + b) >> 1);
+          tm[size_t(t) * kLanes + bi * 2 + 1] = clip16((a - b) >> 1);
+        }
+      } else {
+        for (uint32_t t = 0; t < nspb; ++t) {
+          tm[size_t(t) * kLanes + bi * 2] = src0[t];
+          tm[size_t(t) * kLanes + bi * 2 + 1] = src1[t];
+        }
+      }
+    } else {
+      for (uint32_t t = 0; t < nspb; ++t)
+        tm[size_t(t) * kLanes + bi] = src0[t];
+    }
+  }
+
+  const int32_t* steptab = tables().step;
+  alignas(64) int32_t dl[16] = {0};
+  {
+    const int32_t* d = tables().deltas(BPS);
+    for (int i = 0; i < (1 << (BPS - 1)); ++i) dl[i] = d[i];
+  }
+  const __m512i deltas = _mm512_load_si512(dl);
+
+  // trial search: baseline measure doubles as trial 1 (identical seed and
+  // input from the zero state — the fused kernel's pass-count trick)
+  LaneState best[G], walker[G];
+  for (int grp = 0; grp < G; ++grp) best[grp] = zero_state();
+  if (num_trials > 0) {
+    SseAcc best_sse[G];
+    for (int grp = 0; grp < G; ++grp) {
+      walker[grp] = zero_state();
+      measure16<BPS>(walker[grp], tm.data(), kLanes, grp, nspb, steptab,
+                     deltas, &best_sse[grp]);
+    }
+    for (uint32_t trial = 1; trial < num_trials; ++trial) {
+      for (int grp = 0; grp < G; ++grp) {
+        const LaneState candidate = walker[grp];
+        SseAcc sse;
+        measure16<BPS>(walker[grp], tm.data(), kLanes, grp, nspb, steptab,
+                       deltas, &sse);
+        const __mmask16 take = sse_better16(sse, best_sse[grp]);
+        blend_state(best[grp], take, candidate);
+        best_sse[grp].lo =
+            _mm512_mask_blend_epi64(__mmask8(take), best_sse[grp].lo, sse.lo);
+        best_sse[grp].hi = _mm512_mask_blend_epi64(__mmask8(take >> 8),
+                                                   best_sse[grp].hi, sse.hi);
+      }
+    }
+  }
+
+  // header: seed, round weights, snapshot fields for the scalar writer
+  alignas(64) int32_t hh[G][kFilterOrder][16], hw[G][kFilterOrder][16];
+  alignas(64) int32_t hidx[G][16], hshift[G][16];
+  for (int grp = 0; grp < G; ++grp) {
+    LaneState& st = best[grp];
+    seed16(st, tm.data(), kLanes, grp);
+    __m512i maxabs = _mm512_setzero_si512();
+    for (int k = 0; k < kFilterOrder; ++k)
+      maxabs = _mm512_max_epi32(maxabs, _mm512_abs_epi32(st.w[k]));
+    __m512i shift = _mm512_setzero_si512();
+    const __m512i lim = _mm512_set1_epi32(32767);
+    const __m512i one = _mm512_set1_epi32(1);
+    for (int it = 0; it < 16; ++it) {
+      const __mmask16 over =
+          _mm512_cmp_epi32_mask(maxabs, lim, _MM_CMPINT_NLE);
+      maxabs = _mm512_mask_srai_epi32(maxabs, over, maxabs, 1);
+      shift = _mm512_mask_add_epi32(shift, over, shift, one);
+    }
+    const __m512i low = _mm512_sub_epi32(_mm512_sllv_epi32(one, shift), one);
+    const __m512i wmask = _mm512_andnot_si512(low, _mm512_set1_epi32(-1));
+    for (int k = 0; k < kFilterOrder; ++k) {
+      st.w[k] = _mm512_and_si512(st.w[k], wmask);
+      _mm512_store_si512(hh[grp][k], st.h[k]);
+      _mm512_store_si512(hw[grp][k], st.w[k]);
+    }
+    _mm512_store_si512(hidx[grp], st.idx);
+    _mm512_store_si512(hshift[grp], shift);
+  }
+
+  // emit pass: codes into unit-major [unit][byte-in-unit][lane] planes
+  for (uint32_t u = 0; u < n_units; ++u) {
+    for (int grp = 0; grp < G; ++grp) {
+      __m512i code[spu], q;
+      for (int k = 0; k < spu; ++k) {
+        const uint32_t t = kFilterOrder + u * spu + k;
+        const __m512i x =
+            _mm512_loadu_si512(tm.data() + size_t(t) * kLanes + grp * 16);
+        enc_step16<BPS>(best[grp], x, steptab, deltas, &code[k], &q);
+      }
+      uint8_t* tc = tcodes.data() + (size_t(u) * cb) * kLanes + grp * 16;
+      if (BPS == 4) {
+        const __m512i b =
+            _mm512_or_si512(_mm512_slli_epi32(code[0], 4), code[1]);
+        _mm_storeu_si128(reinterpret_cast<__m128i*>(tc),
+                         _mm512_cvtepi32_epi8(b));
+      } else if (BPS == 2) {
+        __m512i b = _mm512_slli_epi32(code[0], 6);
+        b = _mm512_or_si512(b, _mm512_slli_epi32(code[1], 4));
+        b = _mm512_or_si512(b, _mm512_slli_epi32(code[2], 2));
+        b = _mm512_or_si512(b, code[3]);
+        _mm_storeu_si128(reinterpret_cast<__m128i*>(tc),
+                         _mm512_cvtepi32_epi8(b));
+      } else {
+        __m512i w24 = _mm512_setzero_si512();
+        for (int k = 0; k < 8; ++k)
+          w24 = _mm512_or_si512(w24, _mm512_slli_epi32(code[k], 21 - 3 * k));
+        _mm_storeu_si128(reinterpret_cast<__m128i*>(tc),
+                         _mm512_cvtepi32_epi8(_mm512_srli_epi32(w24, 16)));
+        _mm_storeu_si128(reinterpret_cast<__m128i*>(tc + kLanes),
+                         _mm512_cvtepi32_epi8(_mm512_srli_epi32(w24, 8)));
+        _mm_storeu_si128(reinterpret_cast<__m128i*>(tc + 2 * kLanes),
+                         _mm512_cvtepi32_epi8(w24));
+      }
+    }
+  }
+
+  // scalar assembly: per-block header + channel-interleaved units
+  for (int bi = 0; bi < BPC; ++bi) {
+    uint8_t* p = out + kHeaderSize + size_t(b0 + bi) * g.block_size;
+    for (int ch = 0; ch < NCH; ++ch) {
+      const int l = bi * NCH + ch;
+      const int grp = l / 16, ll = l % 16;
+      wr_u16(p, uint32_t(hidx[grp][ll] << kQ4) | uint32_t(hshift[grp][ll]));
+      p += 2;
+      for (int k = 0; k < kFilterOrder; ++k) {
+        wr_u16(p, uint16_t(hw[grp][k][ll] >> hshift[grp][ll]));
+        p += 2;
+        wr_u16(p, uint16_t(hh[grp][k][ll]));
+        p += 2;
+      }
+    }
+    for (uint32_t u = 0; u < n_units; ++u) {
+      const uint8_t* tc = tcodes.data() + size_t(u) * cb * kLanes;
+      for (int ch = 0; ch < NCH; ++ch)
+        for (int j = 0; j < cb; ++j) *p++ = tc[size_t(j) * kLanes + bi * NCH + ch];
+    }
+  }
+}
+
+template <int BPS, int NCH>
+uint32_t encode_blocks_simd(const int32_t* pcm, uint32_t num_samples, bool ms,
+                            uint32_t num_trials, uint32_t nblocks,
+                            const Geometry& g, uint8_t* out) {
+  constexpr int cb = (BPS == 3) ? 3 : 1;
+  constexpr uint32_t BPG = 16 / NCH;
+  const uint32_t nspb = g.samples_per_block;
+  std::vector<int32_t> tm(size_t(nspb) * 32);
+  std::vector<uint8_t> tcodes(
+      (size_t(nspb - kFilterOrder) / ((BPS == 4) ? 2 : (BPS == 2 ? 4 : 8))) *
+      cb * 32);
+  uint32_t b = 0;
+  while (b + 2 * BPG <= nblocks) {
+    encode_chunk_simd<BPS, NCH, 2>(pcm, num_samples, ms, num_trials, b, g,
+                                   out, tm, tcodes);
+    b += 2 * BPG;
+  }
+  if (b + BPG <= nblocks) {
+    encode_chunk_simd<BPS, NCH, 1>(pcm, num_samples, ms, num_trials, b, g,
+                                   out, tm, tcodes);
+    b += BPG;
+  }
+  return b;
+}
+
+#pragma GCC pop_options
+
+// Dispatch for the block-independent encode: vectorise the leading blocks
+// whose samples AND wire bytes are both full.
+uint32_t run_simd_encode_parallel(const int32_t* pcm, const AadxInfo& h,
+                                  const Geometry& g, uint32_t num_trials,
+                                  uint8_t* out, size_t capacity) {
+  static const bool ok = __builtin_cpu_supports("avx512f");
+  if (!ok) return 0;
+  const uint32_t nspb = g.samples_per_block;
+  uint32_t nb = h.num_samples / nspb;  // blocks with every sample present
+  const uint32_t bpg = 16 / h.num_channels;
+  nb = (nb / bpg) * bpg;
+  while (nb && kHeaderSize + size_t(nb) * g.block_size > capacity)
+    nb -= bpg;
+  if (!nb) return 0;
+  const bool ms = h.ch_process_method == 1;
+  switch (h.bits_per_sample * 10 + h.num_channels) {
+    case 41:
+      return encode_blocks_simd<4, 1>(pcm, h.num_samples, ms, num_trials, nb,
+                                      g, out);
+    case 42:
+      return encode_blocks_simd<4, 2>(pcm, h.num_samples, ms, num_trials, nb,
+                                      g, out);
+    case 31:
+      return encode_blocks_simd<3, 1>(pcm, h.num_samples, ms, num_trials, nb,
+                                      g, out);
+    case 32:
+      return encode_blocks_simd<3, 2>(pcm, h.num_samples, ms, num_trials, nb,
+                                      g, out);
+    case 21:
+      return encode_blocks_simd<2, 1>(pcm, h.num_samples, ms, num_trials, nb,
+                                      g, out);
+    case 22:
+      return encode_blocks_simd<2, 2>(pcm, h.num_samples, ms, num_trials, nb,
+                                      g, out);
+    default:
+      return 0;
+  }
+}
+
 #else
 #define AADX_HAVE_SIMD 0
 #endif  // x86_64
@@ -692,11 +1054,17 @@ size_t aadx_encode_bound(uint32_t num_channels, uint32_t num_samples,
   return kHeaderSize + (blocks + 2) * size_t(g.block_size);
 }
 
-int aadx_encode(const int32_t* pcm, uint32_t num_channels,
-                uint32_t num_samples, uint32_t sampling_rate,
-                uint32_t bits_per_sample, uint32_t max_block_size,
-                uint32_t ch_process_method, uint32_t num_encode_trials,
-                uint8_t* out, size_t capacity, size_t* out_size) {
+// Shared whole-stream encode. `independent_blocks` selects the
+// block-parallel mode: every block restarts from the default predictor
+// state (a stream head), making the output equal to the concatenation of
+// single-block encodes — the byte contract of the JAX engines'
+// parallel_blocks=True mode (ops/encode.py::encode_blocks_parallel).
+static int encode_impl(const int32_t* pcm, uint32_t num_channels,
+                       uint32_t num_samples, uint32_t sampling_rate,
+                       uint32_t bits_per_sample, uint32_t max_block_size,
+                       uint32_t ch_process_method, uint32_t num_encode_trials,
+                       uint8_t* out, size_t capacity, size_t* out_size,
+                       bool independent_blocks) {
   if (!pcm || !out || !out_size) return AADX_INVALID_ARGUMENT;
 
   Geometry g;
@@ -741,8 +1109,19 @@ int aadx_encode(const int32_t* pcm, uint32_t num_channels,
     prev[ch].resize(nspb);
   }
 
-  for (uint32_t done = 0; done < num_samples; done += nspb) {
+  uint32_t done0 = 0;
+#if AADX_HAVE_SIMD
+  if (independent_blocks) {
+    const uint32_t nbv =
+        run_simd_encode_parallel(pcm, h, g, num_encode_trials, out, capacity);
+    done0 = nbv * nspb;
+    p += size_t(nbv) * g.block_size;
+  }
+#endif
+  for (uint32_t done = done0; done < num_samples; done += nspb) {
     const uint32_t n = std::min(nspb, num_samples - done);
+    if (independent_blocks)
+      for (uint32_t ch = 0; ch < num_channels; ++ch) state[ch] = Lms{};
 
     // current block, zero-padded, channel-transformed
     for (uint32_t ch = 0; ch < num_channels; ++ch) {
@@ -753,7 +1132,7 @@ int aadx_encode(const int32_t* pcm, uint32_t num_channels,
     if (ms) ms_transform(cur[0], cur[1], n);
 
     if (num_encode_trials > 0) {
-      const bool has_prev = done >= nspb;
+      const bool has_prev = !independent_blocks && done >= nspb;
       if (has_prev) {
         for (uint32_t ch = 0; ch < num_channels; ++ch)
           std::memcpy(prev[ch].data(),
@@ -843,6 +1222,27 @@ int aadx_encode(const int32_t* pcm, uint32_t num_channels,
 
   *out_size = size_t(p - out);
   return AADX_OK;
+}
+
+int aadx_encode(const int32_t* pcm, uint32_t num_channels,
+                uint32_t num_samples, uint32_t sampling_rate,
+                uint32_t bits_per_sample, uint32_t max_block_size,
+                uint32_t ch_process_method, uint32_t num_encode_trials,
+                uint8_t* out, size_t capacity, size_t* out_size) {
+  return encode_impl(pcm, num_channels, num_samples, sampling_rate,
+                     bits_per_sample, max_block_size, ch_process_method,
+                     num_encode_trials, out, capacity, out_size, false);
+}
+
+int aadx_encode_parallel(const int32_t* pcm, uint32_t num_channels,
+                         uint32_t num_samples, uint32_t sampling_rate,
+                         uint32_t bits_per_sample, uint32_t max_block_size,
+                         uint32_t ch_process_method,
+                         uint32_t num_encode_trials, uint8_t* out,
+                         size_t capacity, size_t* out_size) {
+  return encode_impl(pcm, num_channels, num_samples, sampling_rate,
+                     bits_per_sample, max_block_size, ch_process_method,
+                     num_encode_trials, out, capacity, out_size, true);
 }
 
 }  // extern "C"

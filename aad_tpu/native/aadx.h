@@ -53,6 +53,17 @@ int aadx_encode(const int32_t* pcm, uint32_t num_channels,
                 uint32_t ch_process_method, uint32_t num_encode_trials,
                 uint8_t* out, size_t capacity, size_t* out_size);
 
+/* Encode a whole stream in block-independent (parallel) mode: every block
+ * restarts from the default predictor state, so the output equals the
+ * concatenation of single-block encodes — the byte contract of the JAX
+ * engines' parallel_blocks=True mode. */
+int aadx_encode_parallel(const int32_t* pcm, uint32_t num_channels,
+                         uint32_t num_samples, uint32_t sampling_rate,
+                         uint32_t bits_per_sample, uint32_t max_block_size,
+                         uint32_t ch_process_method,
+                         uint32_t num_encode_trials, uint8_t* out,
+                         size_t capacity, size_t* out_size);
+
 /* Size helpers, mirroring the block-geometry rules. */
 int aadx_block_geometry(uint32_t max_block_size, uint32_t num_channels,
                         uint32_t bits_per_sample, uint32_t* block_size,

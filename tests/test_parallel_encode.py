@@ -284,3 +284,43 @@ def test_chunked_warm_pallas_matches_scan():
         )
         for a, b in zip(h_s, h_p):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestNativeParallel:
+    """The AVX-512/scalar native block-parallel engine (aadx_encode_parallel)
+    must be byte-identical to the JAX parallel mode — the fourth pinned
+    implementation of the block-independent contract."""
+
+    @pytest.mark.parametrize("nch,bps,ms,trials", GRID)
+    def test_native_parallel_matches_scan(self, nch, bps, ms, trials):
+        from aad_tpu import native
+
+        if not native.available():
+            pytest.skip("native codec unavailable")
+        cfg = _cfg(nch, bps, ms, trials)
+        nspb = cfg.geometry().num_samples_per_block
+        # >= 2 full SIMD chunks (32 lanes) plus a scalar remainder + ragged
+        # tail so every path in the native dispatcher runs
+        n = nspb * (64 // nch + 3) + max(nspb // 3, 5)
+        pcm = _signal(nch, n, seed=3 * bps + nch)
+        a = native.encode_parallel(pcm, cfg)
+        b = encode(pcm, cfg, engine="scan", parallel_blocks=True)
+        assert a == b
+
+    def test_native_engine_param_and_auto_routing(self):
+        from aad_tpu import native
+        from aad_tpu.codec.result import InvalidArgumentError
+
+        if not native.available():
+            pytest.skip("native codec unavailable")
+        cfg = _cfg(2, 4, 0, 2)
+        nspb = cfg.geometry().num_samples_per_block
+        pcm = _signal(2, nspb * 20 + 11, seed=9)
+        want = encode(pcm, cfg, engine="scan", parallel_blocks=True)
+        assert encode(pcm, cfg, engine="native", parallel_blocks=True) == want
+        # auto routes plain parallel mode natively off-accelerator
+        assert encode(pcm, cfg, engine="auto", parallel_blocks=True) == want
+        # the chunked/warm quality knobs stay JAX-only
+        with pytest.raises(InvalidArgumentError):
+            encode(pcm, cfg, engine="native", parallel_blocks=True,
+                   parallel_chunk_blocks=2)
