@@ -307,6 +307,35 @@ class TestNativeParallel:
         b = encode(pcm, cfg, engine="scan", parallel_blocks=True)
         assert a == b
 
+    @pytest.mark.parametrize("seed", range(4))
+    def test_native_parallel_random_geometry(self, seed):
+        """Random (odd) block geometries through the SIMD dispatcher: the
+        LCM interleave-unit math must hold in the vector emit/assembly
+        paths too, not just at the default 1024-byte block. Stream length
+        guarantees full SIMD chunks, the scalar full-block remainder AND a
+        ragged tail in one stream."""
+        from aad_tpu import native
+
+        if not native.available():
+            pytest.skip("native codec unavailable")
+        rng = np.random.default_rng(4000 + seed)
+        nch = int(rng.integers(1, 3))
+        cfg = EncodeConfig(
+            num_channels=nch,
+            sampling_rate=8000,
+            bits_per_sample=int(rng.integers(2, 5)),
+            max_block_size=int(rng.integers(40 * nch, 500)),
+            ch_process_method=int(rng.integers(0, 2)) if nch == 2 else 0,
+            num_encode_trials=int(rng.integers(0, 3)),
+        )
+        nspb = cfg.geometry().num_samples_per_block
+        nblocks = 32 // nch + int(rng.integers(1, 16 // nch))
+        n = nspb * nblocks + int(rng.integers(1, nspb))
+        pcm = rng.integers(-32768, 32768, (nch, n)).astype(np.int32)
+        a = native.encode_parallel(pcm, cfg)
+        b = encode(pcm, cfg, engine="scan", parallel_blocks=True)
+        assert a == b, f"geometry {cfg} diverged"
+
     def test_native_engine_param_and_auto_routing(self):
         from aad_tpu import native
         from aad_tpu.codec.result import InvalidArgumentError
