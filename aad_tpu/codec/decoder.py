@@ -374,12 +374,16 @@ class Decoder:
                 # The time-major kernel entry wants C*B to be a whole number
                 # of (8, 128) lane tiles; padding blocks decode garbage that
                 # is sliced away (the kernel pads internally regardless).
-                # (Even tile counts additionally engage the kernel's R=2
-                # lane interleave — but measured full-pipeline throughput is
-                # tile-count-sensitive in XLA's surrounding glue, so the pad
-                # stays minimal rather than forcing parity.)
+                # Tile counts with no small divisor disable the kernel's
+                # lane interleave (_pick_r -> r=1), measured 10-15% slower
+                # end-to-end (benchmarks/probe_tile_counts.py: r=1 shapes
+                # 37.8-40.9 G/s vs r>=2 42.8-47.0), so pad at most one more
+                # tile to restore r>=2.
                 lane_mult = max(1, 1024 // geo.num_channels)
                 nb_padded = -(-nb_padded // lane_mult) * lane_mult
+                tiles = nb_padded // lane_mult
+                if tiles % 2 and tiles % 3:
+                    nb_padded = (tiles + 1) * lane_mult
             hdr_w, data_w = payload_to_words_split(payload, geo, nb_padded)
             lanes = _device_pipeline_words_jit(
                 jnp.asarray(hdr_w),
