@@ -42,11 +42,34 @@ def encode_batch(
     block from a fresh state, blocks joining the lane axes).
     """
     config.validate()
+    plain = parallel_chunk_blocks == 1 and parallel_warm_passes == 0
     if engine == "native":
         # threaded GIL-free C calls: the CPU-host batch path
         from .. import native as _native
 
-        return _native.encode_batch(streams, config)
+        if parallel_blocks and not plain:
+            raise InvalidArgumentError(
+                "engine='native' supports parallel_blocks only with "
+                "chunk_blocks=1 and warm_passes=0; use a JAX engine for "
+                "the chunked/warm quality knobs"
+            )
+        return _native.encode_batch(
+            streams, config, parallel_blocks=parallel_blocks
+        )
+    if engine == "auto" and (not parallel_blocks or plain):
+        # Hybrid dispatch (the one-shot encode()'s policy): off-accelerator
+        # the native engines (~11.5 M/s/core sequential, ~120 M/s/core
+        # AVX-512 parallel mode) beat the scan engine by orders of
+        # magnitude; on TPU the fused kernels keep the work.
+        from ..ops.decode import _on_tpu
+
+        if not _on_tpu():
+            from .. import native as _native
+
+            if _native.available():
+                return _native.encode_batch(
+                    streams, config, parallel_blocks=parallel_blocks
+                )
     engine = resolve_encode_engine(engine)
     geo = config.geometry()
     nspb = geo.num_samples_per_block

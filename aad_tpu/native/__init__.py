@@ -152,12 +152,29 @@ def decode(data: bytes | np.ndarray) -> tuple[HeaderInfo, np.ndarray]:
     return _as_header(info), out.reshape(info.num_channels, info.num_samples)
 
 
+def _check_pcm(pcm: np.ndarray, config) -> np.ndarray:
+    """Shared shape gate: pcm must be (config.num_channels, N).
+
+    The C entry derives the stream geometry from the array shape, so a
+    mismatched config would otherwise be silently ignored where the JAX
+    engines raise (codec/encoder.py::Encoder.encode).
+    """
+    pcm = np.ascontiguousarray(pcm, dtype=np.int32)
+    if pcm.ndim != 2 or pcm.shape[0] != config.num_channels:
+        from ..codec.result import InvalidArgumentError
+
+        raise InvalidArgumentError(
+            f"pcm must be ({config.num_channels}, N); got {pcm.shape}"
+        )
+    return pcm
+
+
 def encode(pcm: np.ndarray, config) -> bytes:
     """Native whole-stream encode; same contract as aad_tpu.codec.encode."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native codec unavailable")
-    pcm = np.ascontiguousarray(pcm, dtype=np.int32)
+    pcm = _check_pcm(pcm, config)
     nch, n = pcm.shape
     bound = lib.aadx_encode_bound(
         nch, n, config.bits_per_sample, config.max_block_size
@@ -193,7 +210,7 @@ def encode_parallel(pcm: np.ndarray, config) -> bytes:
     lib = _load()
     if lib is None:
         raise RuntimeError("native codec unavailable")
-    pcm = np.ascontiguousarray(pcm, dtype=np.int32)
+    pcm = _check_pcm(pcm, config)
     nch, n = pcm.shape
     bound = lib.aadx_encode_bound(
         nch, n, config.bits_per_sample, config.max_block_size
@@ -219,7 +236,10 @@ def encode_parallel(pcm: np.ndarray, config) -> bytes:
     return out[: out_size.value].tobytes()
 
 
-def encode_batch(streams, config, max_workers: int | None = None) -> list[bytes]:
+def encode_batch(
+    streams, config, max_workers: int | None = None,
+    parallel_blocks: bool = False,
+) -> list[bytes]:
     """Threaded native batch encode: one GIL-free C call per stream.
 
     The C API is stateless per call (all work memory is local to
@@ -229,17 +249,20 @@ def encode_batch(streams, config, max_workers: int | None = None) -> list[bytes]
     host has a single core, so no speedup is observable there — the pool
     sizes itself to os.cpu_count()). This is the CPU-host counterpart of
     the device batch pipeline; results are byte-identical to per-stream
-    native encodes (and therefore to the reference binary).
+    native encodes (and therefore to the reference binary). With
+    ``parallel_blocks`` each stream uses the block-independent mode
+    (:func:`encode_parallel`, the AVX-512 engine).
     """
     from concurrent.futures import ThreadPoolExecutor
 
     if _load() is None:
         raise RuntimeError("native codec unavailable")
+    one = encode_parallel if parallel_blocks else encode
     streams = list(streams)
     if len(streams) <= 1:
-        return [encode(pcm, config) for pcm in streams]
+        return [one(pcm, config) for pcm in streams]
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        return list(pool.map(lambda pcm: encode(pcm, config), streams))
+        return list(pool.map(lambda pcm: one(pcm, config), streams))
 
 
 def decode_batch(datas, max_workers: int | None = None):

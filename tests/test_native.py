@@ -312,6 +312,69 @@ class TestNativeBatch:
         # the public batch API routes engine="native" here
         assert api_batch(streams, cfg, engine="native") == out
 
+    def test_encode_batch_parallel_blocks(self):
+        from aad_tpu.codec.batch_encode import encode_batch as api_batch
+        from aad_tpu.codec.encoder import EncodeConfig, encode
+        from aad_tpu.codec.result import InvalidArgumentError
+
+        rng = np.random.default_rng(11)
+        cfg = EncodeConfig(num_channels=2, sampling_rate=16000,
+                           max_block_size=128)
+        streams = [
+            rng.integers(-32768, 32768, (2, n)).astype(np.int32)
+            for n in (4000, 777)
+        ]
+        want = [
+            encode(p, cfg, engine="scan", parallel_blocks=True)
+            for p in streams
+        ]
+        assert native.encode_batch(streams, cfg, parallel_blocks=True) == want
+        assert api_batch(streams, cfg, engine="native",
+                         parallel_blocks=True) == want
+        # quality knobs stay JAX-only on the native engine
+        with pytest.raises(InvalidArgumentError):
+            api_batch(streams, cfg, engine="native", parallel_blocks=True,
+                      parallel_chunk_blocks=2)
+
+    def test_batch_auto_routes_natively_off_accelerator(self):
+        """engine='auto' on a CPU host = the hybrid one-shot policy: the
+        native engines do the work, results identical to the JAX path."""
+        from aad_tpu.codec.batch import decode_batch
+        from aad_tpu.codec.batch_encode import encode_batch
+        from aad_tpu.codec.encoder import EncodeConfig, encode
+        from aad_tpu.ops.decode import _on_tpu
+
+        if _on_tpu():
+            pytest.skip("CPU-host routing test")
+        rng = np.random.default_rng(13)
+        cfg = EncodeConfig(num_channels=2, sampling_rate=16000,
+                           max_block_size=128, num_encode_trials=1)
+        streams = [
+            rng.integers(-32768, 32768, (2, n)).astype(np.int32)
+            for n in (2000, 555)
+        ]
+        enc = encode_batch(streams, cfg)
+        assert enc == [encode(p, cfg, engine="scan") for p in streams]
+        assert encode_batch(streams, cfg, parallel_blocks=True) == [
+            encode(p, cfg, engine="scan", parallel_blocks=True)
+            for p in streams
+        ]
+        for (h, out), pcm, blob in zip(decode_batch(enc), streams, enc):
+            _, want = native.decode(blob)
+            np.testing.assert_array_equal(out, np.asarray(want))
+            assert out.dtype == np.int16
+
+    def test_encode_channel_mismatch_raises(self):
+        from aad_tpu.codec.encoder import EncodeConfig
+        from aad_tpu.codec.result import InvalidArgumentError
+
+        cfg = EncodeConfig(num_channels=2, sampling_rate=8000)
+        mono = np.zeros((1, 100), dtype=np.int32)
+        with pytest.raises(InvalidArgumentError):
+            native.encode(mono, cfg)
+        with pytest.raises(InvalidArgumentError):
+            native.encode_parallel(mono, cfg)
+
     def test_decode_batch_matches_solo(self):
         from aad_tpu.codec.batch import decode_batch as api_batch
         from aad_tpu.codec.encoder import EncodeConfig, encode
