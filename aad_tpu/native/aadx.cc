@@ -358,6 +358,33 @@ inline __m512i step16(LaneState& s, __m512i code, const int32_t* steptab,
   return samp;
 }
 
+// 16x16 int32 in-register transpose (4-stage unpack/shuffle network).
+// out[l] = column l of the row-major input tile.
+inline void transpose16x16(const int32_t* in, __m512i out[16]) {
+  __m512i r[16], t[16];
+  for (int i = 0; i < 16; ++i) r[i] = _mm512_load_si512(in + 16 * i);
+  for (int i = 0; i < 8; ++i) {
+    t[2 * i] = _mm512_unpacklo_epi32(r[2 * i], r[2 * i + 1]);
+    t[2 * i + 1] = _mm512_unpackhi_epi32(r[2 * i], r[2 * i + 1]);
+  }
+  for (int i = 0; i < 4; ++i) {
+    r[4 * i] = _mm512_unpacklo_epi64(t[4 * i], t[4 * i + 2]);
+    r[4 * i + 1] = _mm512_unpackhi_epi64(t[4 * i], t[4 * i + 2]);
+    r[4 * i + 2] = _mm512_unpacklo_epi64(t[4 * i + 1], t[4 * i + 3]);
+    r[4 * i + 3] = _mm512_unpackhi_epi64(t[4 * i + 1], t[4 * i + 3]);
+  }
+  for (int i = 0; i < 2; ++i)
+    for (int j = 0; j < 4; ++j) {
+      t[8 * i + j] = _mm512_shuffle_i32x4(r[8 * i + j], r[8 * i + 4 + j], 0x88);
+      t[8 * i + 4 + j] =
+          _mm512_shuffle_i32x4(r[8 * i + j], r[8 * i + 4 + j], 0xdd);
+    }
+  for (int j = 0; j < 8; ++j) {
+    out[j] = _mm512_shuffle_i32x4(t[j], t[8 + j], 0x88);
+    out[8 + j] = _mm512_shuffle_i32x4(t[j], t[8 + j], 0xdd);
+  }
+}
+
 // Code extraction from a little-endian-gathered u32 covering U units.
 // k is the sample index within the gather; shifts are compile-time-foldable
 // once the SPG loop is unrolled (BPS/NCH constexpr).
@@ -406,7 +433,7 @@ void decode_chunk_simd(const uint8_t* data, size_t off0, uint32_t b0,
   alignas(64) int32_t wbuf[G][kFilterOrder][kLanes];
   alignas(64) int32_t ibuf[G][kLanes];
   alignas(64) int32_t dbuf[G][kLanes];  // data byte offsets
-  alignas(64) int32_t obuf[G][kLanes];  // output byte offsets
+  uint32_t obase[G][kLanes];            // output byte offsets (scalar)
 
   for (int grp = 0; grp < G; ++grp) {
     for (int l = 0; l < kLanes; ++l) {
@@ -426,7 +453,7 @@ void decode_chunk_simd(const uint8_t* data, size_t off0, uint32_t b0,
       for (int t = 0; t < kFilterOrder; ++t)
         pcm[ob + t] = hbuf[grp][kFilterOrder - 1 - t][l];
       dbuf[grp][l] = int32_t(bs + g.header_bytes + ch * cb);
-      obuf[grp][l] = int32_t((ob + kFilterOrder) * 4);
+      obase[grp][l] = uint32_t((ob + kFilterOrder) * 4);
     }
   }
 
@@ -439,7 +466,7 @@ void decode_chunk_simd(const uint8_t* data, size_t off0, uint32_t b0,
   const __m512i deltas = _mm512_load_si512(dl);
 
   LaneState st[G];
-  __m512i doff[G], ooff[G];
+  __m512i doff[G];
   for (int grp = 0; grp < G; ++grp) {
     for (int k = 0; k < kFilterOrder; ++k) {
       st[grp].h[k] = _mm512_load_si512(hbuf[grp][k]);
@@ -447,10 +474,24 @@ void decode_chunk_simd(const uint8_t* data, size_t off0, uint32_t b0,
     }
     st[grp].idx = _mm512_load_si512(ibuf[grp]);
     doff[grp] = _mm512_load_si512(dbuf[grp]);
-    ooff[grp] = _mm512_load_si512(obuf[grp]);
   }
 
-  const __m512i four = _mm512_set1_epi32(4);
+  // Output staging: per-sample vpscatterdd measured ~25% of the decode
+  // loop on this chain, so samples buffer 16-deep time-major in L1 and
+  // flush through the in-register 16x16 transpose as one contiguous
+  // 64-byte store per lane (each lane's output is sequential).
+  alignas(64) int32_t tbuf[G][16][kLanes];
+  uint8_t* const out8 = reinterpret_cast<uint8_t*>(pcm);
+  int tk = 0;
+  const auto flush16 = [&](int grp) {
+    __m512i cols[16];
+    transpose16x16(tbuf[grp][0], cols);
+    for (int l = 0; l < kLanes; ++l) {
+      _mm512_storeu_si512(out8 + obase[grp][l], cols[l]);
+      obase[grp][l] += 64;
+    }
+  };
+
   uint32_t u = 0;
   for (; u + U <= n_units; u += U) {
     __m512i gw[G];
@@ -462,8 +503,11 @@ void decode_chunk_simd(const uint8_t* data, size_t off0, uint32_t b0,
       for (int grp = 0; grp < G; ++grp) {
         const __m512i code = extract_code<BPS, NCH>(gw[grp], k);
         const __m512i samp = step16<BPS>(st[grp], code, steptab, deltas);
-        _mm512_i32scatter_epi32(pcm, ooff[grp], samp, 1);
-        ooff[grp] = _mm512_add_epi32(ooff[grp], four);
+        _mm512_store_si512(tbuf[grp][tk], samp);
+      }
+      if (++tk == 16) {
+        for (int grp = 0; grp < G; ++grp) flush16(grp);
+        tk = 0;
       }
     }
   }
@@ -478,11 +522,20 @@ void decode_chunk_simd(const uint8_t* data, size_t off0, uint32_t b0,
       for (int grp = 0; grp < G; ++grp) {
         const __m512i code = extract_code<BPS, NCH>(gw[grp], k);
         const __m512i samp = step16<BPS>(st[grp], code, steptab, deltas);
-        _mm512_i32scatter_epi32(pcm, ooff[grp], samp, 1);
-        ooff[grp] = _mm512_add_epi32(ooff[grp], four);
+        _mm512_store_si512(tbuf[grp][tk], samp);
+      }
+      if (++tk == 16) {
+        for (int grp = 0; grp < G; ++grp) flush16(grp);
+        tk = 0;
       }
     }
   }
+  // partial buffer: scalar drain (< 16 samples per lane per chunk)
+  for (int grp = 0; grp < G; ++grp)
+    for (int l = 0; l < kLanes; ++l) {
+      int32_t* dst = reinterpret_cast<int32_t*>(out8 + obase[grp][l]);
+      for (int j = 0; j < tk; ++j) dst[j] = tbuf[grp][j][l];
+    }
 }
 
 // Vectorised mid/side recombination over the first n samples of both rows.

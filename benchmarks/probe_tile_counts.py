@@ -25,7 +25,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-ITERS = 100
+import os
+
+ITERS = int(os.environ.get("AAD_PROBE_ITERS", "100"))
 
 
 def measure(n_tiles: int) -> float:

@@ -335,6 +335,14 @@ class TestNativeParallel:
         a = native.encode_parallel(pcm, cfg)
         b = encode(pcm, cfg, engine="scan", parallel_blocks=True)
         assert a == b, f"geometry {cfg} diverged"
+        # the stream is long enough to engage the AVX-512 *decode* block
+        # groups too (the short geometry-fuzz streams only hit its scalar
+        # tail), so pin the SIMD gather math at odd geometries both ways
+        _, d_native = native.decode(a)
+        _, d_scan = decode(a, engine="scan")
+        np.testing.assert_array_equal(
+            np.asarray(d_native), np.asarray(d_scan)
+        )
 
     def test_native_engine_param_and_auto_routing(self):
         from aad_tpu import native
