@@ -71,8 +71,30 @@ class _Args:
     num_encode_trials: int = 2
     ms_conversion: bool = False
     engine: str = "auto"
+    strict: bool = True
     input: str | None = None
     output: str | None = None
+
+
+class _CliFailure(Exception):
+    """Carries the exact reference diagnostic for main() to emit on stderr."""
+
+    def __init__(self, message: str):
+        self.message = message
+        super().__init__(message)
+
+
+def _read_wav_cli(path: str):
+    """WAV ingest with the reference CLI's diagnostic contract.
+
+    ``WAV_CreateFromFile`` returns NULL for open *and* parse failures alike,
+    and every mode reports that as one message (reference: src/main.c:156-160,
+    :359-363, :405-409, :451-455).
+    """
+    try:
+        return read_wav(path)
+    except (OSError, AadError):
+        raise _CliFailure(f"Failed to open {path}. \n") from None
 
 
 def _read_wav_16bit(path: str):
@@ -81,7 +103,7 @@ def _read_wav_16bit(path: str):
     The reference CLI truncates canonical PCM to 16 bits on ingest
     (reference: src/main.c:177).
     """
-    fmt, pcm32 = read_wav(path)
+    fmt, pcm32 = _read_wav_cli(path)
     return fmt, (pcm32 >> 16).astype(np.int32)
 
 
@@ -127,11 +149,11 @@ def _encode(args, pcm, fmt) -> bytes:
 
 
 def _decode(args, data):
-    if _use_native(args):
+    if args.strict and _use_native(args):
         from . import native
 
         return native.decode(data)
-    header, pcm = decode(data, engine=args.engine)
+    header, pcm = decode(data, engine=args.engine, strict=args.strict)
     return header, np.asarray(pcm)
 
 
@@ -142,7 +164,7 @@ def _reconstruct(args, path: str):
     inputs the reference subtracts from the untruncated original
     (reference: src/main.c:425-432, 470-475).
     """
-    fmt, canonical = read_wav(path)
+    fmt, canonical = _read_wav_cli(path)
     pcm = (canonical >> 16).astype(np.int32)
     data = _encode(args, pcm, fmt)
     _, decoded = _decode(args, data)
@@ -150,9 +172,22 @@ def _reconstruct(args, path: str):
 
 
 def cmd_information(path: str) -> int:
-    with open(path, "rb") as f:
-        data = f.read(FILE_HEADER_SIZE)
-    h = decode_header(data)
+    # Diagnostic staging mirrors the reference info mode: open, short-read,
+    # then header decode, each with its own message (reference:
+    # src/main.c:238-257).
+    try:
+        with open(path, "rb") as f:
+            data = f.read(FILE_HEADER_SIZE)
+    except OSError:
+        raise _CliFailure(f"Failed to open {path}. \n") from None
+    if len(data) < FILE_HEADER_SIZE:
+        raise _CliFailure(f"Failed to read from {path}. \n")
+    try:
+        h = decode_header(data)
+    except AadError as e:
+        raise _CliFailure(
+            f"Failed to read header. API result: {e.result.value} \n"
+        ) from None
     ch_name = {0: "None", 1: "MS-Conversion"}.get(h.ch_process_method, "?")
     # Field layout mirrors the reference info dump (reference: src/main.c:260-269)
     rows = [
@@ -230,7 +265,14 @@ def main(argv=None) -> int:
         )
         return 1
 
-    args = _Args(engine=os.environ.get("AAD_TPU_ENGINE", "auto"))
+    # AAD_TPU_STRICT=0 opts the -d mode into the reference's
+    # decode-what's-there behaviour on truncated payloads (the argv surface
+    # is pinned byte-identical to the reference, so compat knobs ride env
+    # vars; see decode()'s strict parameter).
+    args = _Args(
+        engine=os.environ.get("AAD_TPU_ENGINE", "auto"),
+        strict=os.environ.get("AAD_TPU_STRICT", "1") != "0",
+    )
     args.input = others[0] if len(others) > 0 else None
     args.output = others[1] if len(others) > 1 else None
     if args.input is None:
@@ -276,9 +318,29 @@ def main(argv=None) -> int:
             return 1
 
         if by_long["decode"].acquired:
-            with open(args.input, "rb") as f:
-                data = f.read()
-            header, pcm = _decode(args, data)
+            try:
+                with open(args.input, "rb") as f:
+                    data = f.read()
+            except OSError:
+                raise _CliFailure(
+                    f"Failed to open {args.input}. \n"
+                ) from None
+            # Header parse and body decode report separately with the API
+            # result value (reference: src/main.c:93-111). The version pin
+            # lives in the body stage, as in the reference (DecodeHeader
+            # checks only the signature, src/aad_decoder.c:121-133).
+            try:
+                decode_header(data)
+            except AadError as e:
+                raise _CliFailure(
+                    f"Failed to read header. API result: {e.result.value} \n"
+                ) from None
+            try:
+                header, pcm = _decode(args, data)
+            except AadError as e:
+                raise _CliFailure(
+                    f"Failed to decode. API result: {e.result.value} \n"
+                ) from None
             fmt = WavFormat(
                 num_channels=header.num_channels,
                 sampling_rate=header.sampling_rate,
@@ -308,17 +370,24 @@ def main(argv=None) -> int:
         write_wav(args.output, fmt, residual)
         return 0
 
+    except _CliFailure as e:
+        sys.stderr.write(e.message)
+        return 1
     except AadError as e:
         from .codec.result import InvalidFormatError
 
-        if isinstance(e, InvalidFormatError) and not by_long["decode"].acquired:
-            # invalid encode parameters (reference: src/main.c:193, 318)
+        if isinstance(e, InvalidFormatError):
+            # invalid encode parameters (reference: src/main.c:193, 318).
+            # Only encode-side errors reach here: the decode/info/WAV paths
+            # all convert their failures to _CliFailure above.
             sys.stderr.write(
                 "Failed to set encode parameter. Please check encode "
                 "parameter. \n"
             )
             return 1
-        sys.stderr.write(f"error: {e.result.name}: {e}\n")
+        # post-parameter encode failure (reference: src/main.c:201, :326 —
+        # note the reference omits the space after the colon here)
+        sys.stderr.write(f"Failed to encode. API result:{e.result.value} \n")
         return 1
     except FileNotFoundError as e:
         sys.stderr.write(f"Failed to open {e.filename}. \n")

@@ -140,6 +140,91 @@ class TestErrors:
         assert r.returncode == 1
         assert r.stderr.startswith("Failed to open ")
 
+    def test_bad_input_files_match_reference(
+        self, reference_cli, short_wav, tmp_path
+    ):
+        """Per-site file diagnostics: WAV open/parse failures, short reads,
+        header-parse and body-decode failures, each with the reference's
+        exact message and API result value (reference: src/main.c:76-78,
+        :93-111, :156-160, :238-257, :359-363)."""
+        import struct
+
+        aad = tmp_path / "probe.aad"
+        subprocess.run(
+            [str(reference_cli), "-e", str(short_wav), str(aad)], check=True
+        )
+        good = aad.read_bytes()
+        notwav = tmp_path / "notwav.bin"      # parses as neither WAV nor AAD
+        notwav.write_bytes(b"\x01" * 64)
+        shortf = tmp_path / "short.bin"       # < AAD header size
+        shortf.write_bytes(b"XY")
+        badver = tmp_path / "badver.aad"      # signature ok, version pinned out
+        badver.write_bytes(
+            good[:8] + struct.pack(">I", 99) + good[12:]
+        )
+        out = str(tmp_path / "o.tmp")
+        cases = [
+            ["-e", str(notwav), out],          # Failed to open (WAV parse)
+            ["-r", str(notwav), out],
+            ["-g", str(notwav), out],
+            ["-c", str(notwav)],
+            ["-d", str(notwav), out],          # Failed to read header: 2
+            ["-i", str(notwav)],               # Failed to read header: 2
+            ["-d", str(shortf), out],          # Failed to read header: 4
+            ["-i", str(shortf)],               # Failed to read from
+            ["-d", str(badver), out],          # Failed to decode: 2
+            ["-i", str(badver)],               # info ignores versions: rc 0
+            ["-e", str(tmp_path / "none.wav"), out],   # Failed to open
+            ["-d", str(tmp_path / "none.aad"), out],
+            ["-i", str(tmp_path / "none.aad")],
+            ["-e", "-b", "9", str(short_wav), out],    # encode parameter
+            ["-c", "-s", "17", str(short_wav)],
+        ]
+        for argv in cases:
+            _compare_to_reference(reference_cli, argv)
+
+    def test_lenient_decode_env_var(self, reference_cli, short_wav, tmp_path):
+        """AAD_TPU_STRICT=0 reproduces the reference's decode-what's-there
+        CLI behaviour on a truncated stream (reference: src/main.c:102-111
+        writes the full-length buffer regardless)."""
+        aad = tmp_path / "full.aad"
+        subprocess.run(
+            [str(reference_cli), "-e", "-s", "256", str(short_wav), str(aad)],
+            check=True,
+        )
+        data = aad.read_bytes()
+        trunc = tmp_path / "trunc.aad"
+        trunc.write_bytes(data[: 31 + 3 * 256 + 40])  # 3 whole blocks + a cut
+        out = tmp_path / "lenient.wav"
+        # strict default: typed failure, reference message
+        r = run_cli(["-d", str(trunc), str(out)])
+        assert r.returncode == 1
+        assert r.stderr == "Failed to decode. API result: 4 \n"
+        # lenient: full-length output, decoded prefix matches the full decode
+        env = dict(os.environ, AAD_TPU_STRICT="0")
+        r = subprocess.run(
+            [sys.executable, "-m", "aad_tpu.cli", "-d", str(trunc), str(out)],
+            capture_output=True, text=True, timeout=600, cwd="/root/repo",
+            env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        full = tmp_path / "full.wav"
+        assert run_cli(["-d", str(aad), str(full)]).returncode == 0
+        _, lenient_pcm = read_wav(str(out))
+        _, full_pcm = read_wav(str(full))
+        assert lenient_pcm.shape == full_pcm.shape
+        # whole blocks decode exactly; the cut block decodes its present
+        # prefix with zero codes thereafter (documented lenient semantics),
+        # and fully-missing blocks are zero
+        from aad_tpu.format.header import decode_header
+
+        nspb = decode_header(data[:31]).num_samples_per_block
+        np.testing.assert_array_equal(
+            lenient_pcm[:, : 3 * nspb], full_pcm[:, : 3 * nspb]
+        )
+        assert np.any(lenient_pcm[:, : 3 * nspb] != 0)
+        assert np.all(lenient_pcm[:, 5 * nspb :] == 0)
+
     def test_version(self):
         r = run_cli(["-v"])
         assert r.returncode == 0 and "Version" in r.stdout
