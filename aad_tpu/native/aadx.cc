@@ -707,27 +707,37 @@ struct SseAcc {
   __m512i lo, hi;  // lanes 0-7 / 8-15 as i64
 };
 
-// Measure pass over one group: seed, encode [4, nspb), wrapped-square SSE.
-template <int BPS>
-void measure16(LaneState& s, const int32_t* tm, int lanes_total, int g,
-               uint32_t nspb, const int32_t* steptab, __m512i deltas,
-               SseAcc* sse) {
-  seed16(s, tm, lanes_total, g);
-  __m512i acc_lo = _mm512_setzero_si512();
-  __m512i acc_hi = _mm512_setzero_si512();
-  for (uint32_t t = kFilterOrder; t < nspb; ++t) {
-    const __m512i x =
-        _mm512_loadu_si512(tm + size_t(t) * lanes_total + g * 16);
-    __m512i code, q;
-    enc_step16<BPS>(s, x, steptab, deltas, &code, &q);
-    const __m512i sq = _mm512_mullo_epi32(q, q);  // wrapped int32 product
-    acc_lo = _mm512_add_epi64(
-        acc_lo, _mm512_cvtepi32_epi64(_mm512_castsi512_si256(sq)));
-    acc_hi = _mm512_add_epi64(
-        acc_hi, _mm512_cvtepi32_epi64(_mm512_extracti64x4_epi64(sq, 1)));
+// Measure pass over all G groups, interleaved per sample step so one
+// group's gather/ALU latency hides behind the other's dependent chain —
+// the decode loop's latency-hiding structure (enc_step16 is a serial
+// chain per lane set; G independent chains keep the ports busy).
+template <int BPS, int G>
+void measure16g(LaneState* s, const int32_t* tm, int lanes_total,
+                uint32_t nspb, const int32_t* steptab, __m512i deltas,
+                SseAcc* sse) {
+  __m512i acc_lo[G], acc_hi[G];
+  for (int g = 0; g < G; ++g) {
+    seed16(s[g], tm, lanes_total, g);
+    acc_lo[g] = _mm512_setzero_si512();
+    acc_hi[g] = _mm512_setzero_si512();
   }
-  sse->lo = acc_lo;
-  sse->hi = acc_hi;
+  for (uint32_t t = kFilterOrder; t < nspb; ++t) {
+    for (int g = 0; g < G; ++g) {
+      const __m512i x =
+          _mm512_loadu_si512(tm + size_t(t) * lanes_total + g * 16);
+      __m512i code, q;
+      enc_step16<BPS>(s[g], x, steptab, deltas, &code, &q);
+      const __m512i sq = _mm512_mullo_epi32(q, q);  // wrapped int32 product
+      acc_lo[g] = _mm512_add_epi64(
+          acc_lo[g], _mm512_cvtepi32_epi64(_mm512_castsi512_si256(sq)));
+      acc_hi[g] = _mm512_add_epi64(
+          acc_hi[g], _mm512_cvtepi32_epi64(_mm512_extracti64x4_epi64(sq, 1)));
+    }
+  }
+  for (int g = 0; g < G; ++g) {
+    sse[g].lo = acc_lo[g];
+    sse[g].hi = acc_hi[g];
+  }
 }
 
 // The reference's min_rmse > tmp_rmse adoption rule on wrapped sums (both
@@ -810,23 +820,24 @@ void encode_chunk_simd(const int32_t* pcm, uint32_t num_samples, bool ms,
   for (int grp = 0; grp < G; ++grp) best[grp] = zero_state();
   if (num_trials > 0) {
     SseAcc best_sse[G];
-    for (int grp = 0; grp < G; ++grp) {
-      walker[grp] = zero_state();
-      measure16<BPS>(walker[grp], tm.data(), kLanes, grp, nspb, steptab,
-                     deltas, &best_sse[grp]);
-    }
+    for (int grp = 0; grp < G; ++grp) walker[grp] = zero_state();
+    measure16g<BPS, G>(walker, tm.data(), kLanes, nspb, steptab, deltas,
+                       best_sse);
     for (uint32_t trial = 1; trial < num_trials; ++trial) {
+      LaneState candidate[G];
+      for (int grp = 0; grp < G; ++grp) candidate[grp] = walker[grp];
+      SseAcc sse[G];
+      measure16g<BPS, G>(walker, tm.data(), kLanes, nspb, steptab, deltas,
+                         sse);
       for (int grp = 0; grp < G; ++grp) {
-        const LaneState candidate = walker[grp];
-        SseAcc sse;
-        measure16<BPS>(walker[grp], tm.data(), kLanes, grp, nspb, steptab,
-                       deltas, &sse);
-        const __mmask16 take = sse_better16(sse, best_sse[grp]);
-        blend_state(best[grp], take, candidate);
-        best_sse[grp].lo =
-            _mm512_mask_blend_epi64(__mmask8(take), best_sse[grp].lo, sse.lo);
+        const __mmask16 take = sse_better16(sse[grp], best_sse[grp]);
+        blend_state(best[grp], take, candidate[grp]);
+        best_sse[grp].lo = _mm512_mask_blend_epi64(__mmask8(take),
+                                                   best_sse[grp].lo,
+                                                   sse[grp].lo);
         best_sse[grp].hi = _mm512_mask_blend_epi64(__mmask8(take >> 8),
-                                                   best_sse[grp].hi, sse.hi);
+                                                   best_sse[grp].hi,
+                                                   sse[grp].hi);
       }
     }
   }
@@ -860,16 +871,21 @@ void encode_chunk_simd(const int32_t* pcm, uint32_t num_samples, bool ms,
     _mm512_store_si512(hshift[grp], shift);
   }
 
-  // emit pass: codes into unit-major [unit][byte-in-unit][lane] planes
+  // emit pass: codes into unit-major [unit][byte-in-unit][lane] planes;
+  // sample steps interleave across groups (independent chains, as in the
+  // measure pass) before each group's codes pack
   for (uint32_t u = 0; u < n_units; ++u) {
-    for (int grp = 0; grp < G; ++grp) {
-      __m512i code[spu], q;
-      for (int k = 0; k < spu; ++k) {
+    __m512i codes[G][spu];
+    for (int k = 0; k < spu; ++k)
+      for (int grp = 0; grp < G; ++grp) {
         const uint32_t t = kFilterOrder + u * spu + k;
         const __m512i x =
             _mm512_loadu_si512(tm.data() + size_t(t) * kLanes + grp * 16);
-        enc_step16<BPS>(best[grp], x, steptab, deltas, &code[k], &q);
+        __m512i q;
+        enc_step16<BPS>(best[grp], x, steptab, deltas, &codes[grp][k], &q);
       }
+    for (int grp = 0; grp < G; ++grp) {
+      const __m512i* code = codes[grp];
       uint8_t* tc = tcodes.data() + (size_t(u) * cb) * kLanes + grp * 16;
       if (BPS == 4) {
         const __m512i b =
