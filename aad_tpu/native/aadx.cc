@@ -137,10 +137,12 @@ struct Lms {
 
   // Returns the code; quantisation error (the reconstructed diff) through
   // *qdiff for the trial search.
-  // (Replacing the quantiser's idiv with a Granlund-Montgomery magic
-  // multiply was measured byte-exact but ~11% SLOWER here: the OOO core
-  // already hides the divide behind the predict/update chain, and the
-  // extra magic-table traffic costs more than the idiv saves.)
+  // The quantiser keeps the plain idiv: 32-bit division with these small
+  // operands is variable-latency fast (~10 cycles) on modern cores, so it
+  // beats both a Granlund-Montgomery magic multiply (byte-exact but ~11%
+  // slower: per-stepsize magic-table loads) and the SIMD engines'
+  // binary-search threshold form (byte-exact but 11.3 -> 7.5 M samples/s
+  // at bps=4: the dependent compare levels are longer than the divide).
   uint32_t encode(int32_t sample, uint32_t bps, int32_t* qdiff) {
     const uint32_t sign = 1u << (bps - 1);
     const uint32_t absmask = sign - 1;
@@ -284,6 +286,31 @@ int64_t measure(Lms* s, const int32_t* x, uint32_t n, uint32_t bps) {
     sse += int64_t(int32_t(q * q));  // wrapped product, sign-extended
   }
   return sse;
+}
+
+// Two independent measure chains interleaved per sample step. Each
+// channel's op sequence is identical to measure() (byte-exact); putting
+// both serial dependent chains inside one loop body keeps them in the
+// OoO window together, so the core fills one chain's stalls with the
+// other's work — the scalar mirror of the SIMD kernels' group interleave.
+void measure2(Lms* s0, const int32_t* x0, Lms* s1, const int32_t* x1,
+              uint32_t n, uint32_t bps, int64_t* sse0, int64_t* sse1) {
+  if (n < kFilterOrder) {
+    *sse0 = *sse1 = 0;
+    return;
+  }
+  s0->seed(x0, n);
+  s1->seed(x1, n);
+  int64_t a = 0, b = 0;
+  for (uint32_t t = kFilterOrder; t < n; ++t) {
+    int32_t q0, q1;
+    s0->encode(x0[t], bps, &q0);
+    s1->encode(x1[t], bps, &q1);
+    a += int64_t(int32_t(q0 * q0));
+    b += int64_t(int32_t(q1 * q1));
+  }
+  *sse0 = a;
+  *sse1 = b;
 }
 
 // ---- AVX-512 block-parallel decode ----------------------------------------
@@ -1209,26 +1236,55 @@ static int encode_impl(const int32_t* pcm, uint32_t num_channels,
                       sizeof(int32_t) * nspb);
         if (ms) ms_transform(prev[0], prev[1], nspb);
       }
-      for (uint32_t ch = 0; ch < num_channels; ++ch) {
-        Lms best = state[ch];
-        Lms probe = state[ch];
-        int64_t best_sse = measure(&probe, cur[ch].data(), n, bits_per_sample);
-        Lms walker = state[ch];
+      if (num_channels == 2) {
+        // stereo: both channels' chains step together (see measure2)
+        Lms best[2] = {state[0], state[1]};
+        Lms probe[2] = {state[0], state[1]};
+        int64_t best_sse[2];
+        measure2(&probe[0], cur[0].data(), &probe[1], cur[1].data(), n,
+                 bits_per_sample, &best_sse[0], &best_sse[1]);
+        Lms walker[2] = {state[0], state[1]};
         for (uint32_t trial = 0; trial < num_encode_trials; ++trial) {
-          if (has_prev)
-            measure(&walker, prev[ch].data(), nspb, bits_per_sample);
-          const Lms candidate = walker;
-          const int64_t sse =
-              measure(&walker, cur[ch].data(), n, bits_per_sample);
+          if (has_prev) {
+            int64_t d0, d1;
+            measure2(&walker[0], prev[0].data(), &walker[1], prev[1].data(),
+                     nspb, bits_per_sample, &d0, &d1);
+          }
+          const Lms cand0 = walker[0], cand1 = walker[1];
+          int64_t sse[2];
+          measure2(&walker[0], cur[0].data(), &walker[1], cur[1].data(), n,
+                   bits_per_sample, &sse[0], &sse[1]);
           // The reference compares sqrt(sse/n) doubles: a negative sum is
           // sqrt(NaN) and every NaN comparison is false, so adoption needs
           // both sums non-negative and the candidate strictly smaller.
+          if (sse[0] >= 0 && best_sse[0] >= 0 && sse[0] < best_sse[0]) {
+            best_sse[0] = sse[0];
+            best[0] = cand0;
+          }
+          if (sse[1] >= 0 && best_sse[1] >= 0 && sse[1] < best_sse[1]) {
+            best_sse[1] = sse[1];
+            best[1] = cand1;
+          }
+        }
+        state[0] = best[0];
+        state[1] = best[1];
+      } else {
+        Lms best = state[0];
+        Lms probe = state[0];
+        int64_t best_sse = measure(&probe, cur[0].data(), n, bits_per_sample);
+        Lms walker = state[0];
+        for (uint32_t trial = 0; trial < num_encode_trials; ++trial) {
+          if (has_prev)
+            measure(&walker, prev[0].data(), nspb, bits_per_sample);
+          const Lms candidate = walker;
+          const int64_t sse =
+              measure(&walker, cur[0].data(), n, bits_per_sample);
           if (sse >= 0 && best_sse >= 0 && sse < best_sse) {
             best_sse = sse;
             best = candidate;
           }
         }
-        state[ch] = best;
+        state[0] = best;
       }
     }
 
