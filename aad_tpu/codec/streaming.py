@@ -41,12 +41,27 @@ class StreamingEncoder:
         """``total_samples``: declare the stream length up front so
         :meth:`header` is valid before any data arrives — required for
         progressive transmission (the 31-byte header carries the total)."""
-        from .encoder import resolve_encode_engine
-
         config.validate()
         self.config = config
         self.geometry = config.geometry()
-        self.engine = resolve_encode_engine(engine)
+        # Hybrid dispatch, mirroring the one-shot encode(): a streaming
+        # stream is a sequential chain, which the native host engine wins
+        # (docs/DESIGN.md §3) — the JAX engines serve explicit overrides.
+        self._native = None
+        if engine in ("auto", "native"):
+            from .. import native
+
+            if native.available():
+                self._native = native
+            elif engine == "native":
+                raise RuntimeError("native codec unavailable")
+        if self._native is None:
+            from .encoder import resolve_encode_engine
+
+            self.engine = resolve_encode_engine(engine)
+        else:
+            self.engine = "native"
+            self._nstate, self._nprev = self._native.stream_state(config)
         self.total_samples = total_samples
         self._buffer = np.empty((config.num_channels, 0), dtype=np.int32)
         self._carry = None
@@ -105,6 +120,16 @@ class StreamingEncoder:
         nspb = geo.num_samples_per_block
         n = pcm.shape[1]
         nblocks = -(-n // nspb)
+
+        if self._native is not None:
+            data = self._native.encode_chunk(
+                pcm, self.config, self._nstate, self._nprev,
+                self._blocks_done,
+            )
+            self._blocks_done += nblocks
+            self._samples_done += n
+            return data
+
         padded = np.zeros((pcm.shape[0], nblocks * nspb), dtype=np.int32)
         padded[:, :n] = pcm
         blocks = np.ascontiguousarray(
@@ -198,35 +223,52 @@ class StreamingDecoder:
     """
 
     def __init__(self, engine: str = "auto"):
-        from .decoder import Decoder
-
-        self._decoder_cls = Decoder
         self._engine = engine
+        # Hybrid dispatch, mirroring the one-shot decode(): per-push decodes
+        # are transfer/dispatch-bound on an accelerator, so auto routes to
+        # the native host engine; explicit JAX engines override.
+        self._native = None
+        if engine in ("auto", "native"):
+            from .. import native
+
+            if native.available():
+                self._native = native
+            elif engine == "native":
+                raise RuntimeError("native codec unavailable")
         self._buffer = _ByteFIFO()
+        self._header = None
+        self._geometry = None
         self._decoder = None
         self._samples_out = 0
 
     @property
     def header(self) -> HeaderInfo | None:
-        return self._decoder.header if self._decoder else None
+        return self._header
 
     def push(self, data: bytes) -> np.ndarray:
         """Feed stream bytes; returns (C, n) decoded samples (n may be 0)."""
         self._buffer.append(bytes(data))
-        if self._decoder is None:
+        if self._header is None:
             from ..constants import FILE_HEADER_SIZE
+            from ..format.geometry import geometry_from_header
 
             if len(self._buffer) < FILE_HEADER_SIZE:
                 return self._empty()
             header = decode_header(self._buffer.pop(FILE_HEADER_SIZE))
             validate_header(header)
-            self._decoder = self._decoder_cls.from_header(
-                header, engine=self._engine
+            self._header = header
+            self._geometry = geometry_from_header(
+                header.num_channels, header.bits_per_sample, header.block_size
             )
+            if self._native is None:
+                from .decoder import Decoder
 
-        dec = self._decoder
-        h = dec.header
-        geo = dec.geometry
+                self._decoder = Decoder.from_header(
+                    header, engine=self._engine
+                )
+
+        h = self._header
+        geo = self._geometry
         nspb = h.num_samples_per_block
         remaining_samples = h.num_samples - self._samples_out
         if remaining_samples <= 0:
@@ -254,6 +296,17 @@ class StreamingDecoder:
         if not block_rows:
             return self._empty()
 
+        if self._native is not None:
+            # Headerless whole-block span; 4 bytes of tail slack keep the
+            # AVX-512 gathers in bounds (native/aadx.cc::simd_decode_prefix).
+            payload = np.concatenate(
+                block_rows + [np.zeros(4, dtype=np.uint8)]
+            )
+            emit = int(sum(valids))
+            out = self._native.decode_payload_blocks(payload, h, emit)
+            return out.astype(np.int16, copy=False)
+
+        dec = self._decoder
         from ..ops.wire32 import block_rows_to_words_split
         from .decoder import _bucket_blocks, _device_pipeline_words_jit
 
@@ -289,5 +342,5 @@ class StreamingDecoder:
 
     def _empty(self) -> np.ndarray:
         # Channel count is unknown until the header has arrived.
-        nch = self._decoder.header.num_channels if self._decoder else 0
+        nch = self._header.num_channels if self._header else 0
         return np.empty((nch, 0), dtype=np.int16)

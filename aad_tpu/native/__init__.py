@@ -101,6 +101,8 @@ def _load() -> "ctypes.CDLL | None":
         lib.aadx_encode_parallel.restype = ctypes.c_int
         lib.aadx_encode_bound.restype = ctypes.c_size_t
         lib.aadx_block_geometry.restype = ctypes.c_int
+        lib.aadx_encode_chunk.restype = ctypes.c_int
+        lib.aadx_decode_blocks.restype = ctypes.c_int
         _lib = lib
         return lib
 
@@ -234,6 +236,109 @@ def encode_parallel(pcm: np.ndarray, config) -> bytes:
     )
     _raise(rc, "encode_parallel")
     return out[: out_size.value].tobytes()
+
+
+def stream_state(config) -> tuple[np.ndarray, np.ndarray]:
+    """Fresh (state, prev) carry for :func:`encode_chunk`.
+
+    ``state`` is (C, 9) int32 — h[4], w[4], idx per channel; ``prev`` is
+    (C, num_samples_per_block) int32, the previous block in the
+    channel-transformed domain. Both are mutated in place by encode_chunk.
+    """
+    geo = config.geometry()
+    return (
+        np.zeros((config.num_channels, 9), dtype=np.int32),
+        np.zeros(
+            (config.num_channels, geo.num_samples_per_block), dtype=np.int32
+        ),
+    )
+
+
+def encode_chunk(
+    pcm: np.ndarray, config, state: np.ndarray, prev: np.ndarray,
+    blocks_before: int,
+) -> bytes:
+    """Encode one streaming chunk, continuing the chain in (state, prev).
+
+    Returns the chunk's payload bytes (no file header). Concatenating the
+    header and every chunk's bytes reproduces the one-shot
+    :func:`encode` stream exactly — the native counterpart of
+    ops/encode.py::encode_stream_blocks_carry, serving StreamingEncoder's
+    hybrid dispatch off-accelerator.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native codec unavailable")
+    pcm = _check_pcm(pcm, config)
+    nch, n = pcm.shape
+    bound = lib.aadx_encode_bound(
+        nch, n, config.bits_per_sample, config.max_block_size
+    )
+    if bound == 0:
+        raise InvalidFormatError("bad encode parameters (native)")
+    if not (
+        state.dtype == np.int32 and state.flags.c_contiguous
+        and prev.dtype == np.int32 and prev.flags.c_contiguous
+    ):
+        raise InvalidArgumentError("carry arrays must be C-contiguous int32")
+    out = np.empty(bound, dtype=np.uint8)
+    out_size = ctypes.c_size_t()
+    rc = lib.aadx_encode_chunk(
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nch,
+        n,
+        config.sampling_rate,
+        config.bits_per_sample,
+        config.max_block_size,
+        config.ch_process_method,
+        config.num_encode_trials,
+        blocks_before,
+        state.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        prev.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.size,
+        ctypes.byref(out_size),
+    )
+    _raise(rc, "encode_chunk")
+    return out[: out_size.value].tobytes()
+
+
+def decode_payload_blocks(
+    payload: np.ndarray, header: HeaderInfo, num_samples: int
+) -> np.ndarray:
+    """Decode whole blocks from a headerless payload span.
+
+    ``payload`` holds back-to-back blocks (the final one may be zero-padded
+    to block_size); ``num_samples`` per channel are emitted. Block
+    self-containedness makes chunk boundaries invisible — the native
+    counterpart of StreamingDecoder's device pipeline.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native codec unavailable")
+    buf = np.ascontiguousarray(payload, dtype=np.uint8)
+    info = _AadxInfo(
+        format_version=header.format_version,
+        codec_version=header.codec_version,
+        num_channels=header.num_channels,
+        num_samples=header.num_samples,
+        sampling_rate=header.sampling_rate,
+        bits_per_sample=header.bits_per_sample,
+        block_size=header.block_size,
+        num_samples_per_block=header.num_samples_per_block,
+        ch_process_method=header.ch_process_method,
+    )
+    out = np.empty(header.num_channels * num_samples, dtype=np.int32)
+    rc = lib.aadx_decode_blocks(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        buf.size,
+        num_samples,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.size,
+        ctypes.byref(info),
+    )
+    _raise(rc, "decode_blocks")
+    return out.reshape(header.num_channels, num_samples)
 
 
 def encode_batch(

@@ -592,17 +592,17 @@ void ms_recombine_simd(int32_t* c0, int32_t* c1, uint32_t n) {
 template <int BPS, int NCH>
 uint32_t decode_blocks_simd(const uint8_t* data, uint32_t nblocks,
                             const Geometry& g, const AadxInfo& info,
-                            int32_t* pcm) {
+                            int32_t* pcm, size_t base) {
   constexpr uint32_t BPG = 16 / NCH;
   uint32_t b = 0;
   while (b + 2 * BPG <= nblocks) {
     decode_chunk_simd<BPS, NCH, 2>(
-        data, kHeaderSize + size_t(b) * g.block_size, b, g, info, pcm);
+        data, base + size_t(b) * g.block_size, b, g, info, pcm);
     b += 2 * BPG;
   }
   if (b + BPG <= nblocks) {
     decode_chunk_simd<BPS, NCH, 1>(
-        data, kHeaderSize + size_t(b) * g.block_size, b, g, info, pcm);
+        data, base + size_t(b) * g.block_size, b, g, info, pcm);
     b += BPG;
   }
   if (info.ch_process_method == 1 && b)
@@ -618,7 +618,7 @@ uint32_t decode_blocks_simd(const uint8_t* data, uint32_t nblocks,
 // last gather reads at most 3 bytes past its block's data section, so the
 // final vectorised block needs 4 bytes of slack after it.
 uint32_t simd_decode_prefix(const AadxInfo& info, const Geometry& g,
-                            size_t size) {
+                            size_t size, size_t base) {
   static const bool ok = __builtin_cpu_supports("avx512f");
   if (!ok) return 0;
   if (size > (size_t(1) << 30)) return 0;  // int32 gather offsets
@@ -626,27 +626,27 @@ uint32_t simd_decode_prefix(const AadxInfo& info, const Geometry& g,
     return 0;  // int32 scatter offsets
   const uint32_t spb = info.num_samples_per_block;
   uint32_t nb = info.num_samples / spb;  // blocks emitting all spb samples
-  const size_t avail = size > kHeaderSize ? size - kHeaderSize : 0;
+  const size_t avail = size > base ? size - base : 0;
   const uint32_t on_wire = uint32_t(std::min<size_t>(avail / g.block_size,
                                                      0xFFFFFFFFu));
   nb = std::min(nb, on_wire);
-  while (nb && kHeaderSize + size_t(nb) * g.block_size + 4 > size) --nb;
+  while (nb && base + size_t(nb) * g.block_size + 4 > size) --nb;
   const uint32_t bpg = 16 / info.num_channels;
   return (nb / bpg) * bpg;
 }
 
 uint32_t run_simd_decode(const uint8_t* data, size_t size,
                          const AadxInfo& info, const Geometry& g,
-                         int32_t* pcm) {
-  const uint32_t nb = simd_decode_prefix(info, g, size);
+                         int32_t* pcm, size_t base) {
+  const uint32_t nb = simd_decode_prefix(info, g, size, base);
   if (!nb) return 0;
   switch (info.bits_per_sample * 10 + info.num_channels) {
-    case 41: return decode_blocks_simd<4, 1>(data, nb, g, info, pcm);
-    case 42: return decode_blocks_simd<4, 2>(data, nb, g, info, pcm);
-    case 31: return decode_blocks_simd<3, 1>(data, nb, g, info, pcm);
-    case 32: return decode_blocks_simd<3, 2>(data, nb, g, info, pcm);
-    case 21: return decode_blocks_simd<2, 1>(data, nb, g, info, pcm);
-    case 22: return decode_blocks_simd<2, 2>(data, nb, g, info, pcm);
+    case 41: return decode_blocks_simd<4, 1>(data, nb, g, info, pcm, base);
+    case 42: return decode_blocks_simd<4, 2>(data, nb, g, info, pcm, base);
+    case 31: return decode_blocks_simd<3, 1>(data, nb, g, info, pcm, base);
+    case 32: return decode_blocks_simd<3, 2>(data, nb, g, info, pcm, base);
+    case 21: return decode_blocks_simd<2, 1>(data, nb, g, info, pcm, base);
+    case 22: return decode_blocks_simd<2, 2>(data, nb, g, info, pcm, base);
     default: return 0;
   }
 }
@@ -1086,6 +1086,47 @@ static int check_info(const AadxInfo& h) {
   return AADX_OK;
 }
 
+// Decode info.num_samples per channel from the blocks starting at byte
+// `base` of data. Shared by the whole-stream and streaming-chunk entries.
+static int decode_stream(const uint8_t* data, size_t size, size_t base,
+                         const AadxInfo& info, const Geometry& g,
+                         int32_t* pcm) {
+  Lms lms[kMaxChannels];
+  int32_t* chans[kMaxChannels];
+  size_t off = base;
+  uint32_t done = 0;
+#if AADX_HAVE_SIMD
+  // Block-parallel AVX-512 fast path for the leading full blocks; every
+  // block re-seeds its state from its header, so the scalar loop resumes
+  // cleanly on whatever remainder the vector path leaves.
+  {
+    const uint32_t nb = run_simd_decode(data, size, info, g, pcm, base);
+    off += size_t(nb) * g.block_size;
+    done += nb * info.num_samples_per_block;
+  }
+#endif
+  while (done < info.num_samples && off < size) {
+    const uint32_t limit = info.num_samples - done;
+    const uint32_t emit = std::min(info.num_samples_per_block, limit);
+    // Bound the read: a block must carry whole units covering its samples.
+    // (The reference reads past truncated buffers — reference:
+    // src/aad_decoder.c:394-455 has DEBUG-only bounds asserts; we reject.)
+    const uint32_t coded = emit > kFilterOrder ? emit - kFilterOrder : 0;
+    const uint32_t need =
+        g.header_bytes +
+        ((coded + g.samples_per_unit - 1) / g.samples_per_unit) * g.unit_bytes;
+    if (size - off < need) return AADX_INSUFFICIENT_DATA;
+    for (uint32_t ch = 0; ch < info.num_channels; ++ch)
+      chans[ch] = pcm + size_t(ch) * info.num_samples + done;
+    decode_block(data + off, info, g, lms, chans, limit);
+    // Advance by the on-the-wire block size (the final block is truncated).
+    off += std::min<size_t>(info.block_size, size - off);
+    done += emit;
+  }
+  if (done < info.num_samples) return AADX_INSUFFICIENT_DATA;
+  return AADX_OK;
+}
+
 int aadx_decode(const uint8_t* data, size_t size, int32_t* pcm,
                 size_t capacity, AadxInfo* info) {
   if (!data || !pcm || !info) return AADX_INVALID_ARGUMENT;
@@ -1101,41 +1142,29 @@ int aadx_decode(const uint8_t* data, size_t size, int32_t* pcm,
     return AADX_INVALID_FORMAT;
   if (capacity < size_t(info->num_channels) * info->num_samples)
     return AADX_INSUFFICIENT_BUFFER;
+  return decode_stream(data, size, kHeaderSize, *info, g, pcm);
+}
 
-  Lms lms[kMaxChannels];
-  int32_t* chans[kMaxChannels];
-  size_t off = kHeaderSize;
-  uint32_t done = 0;
-#if AADX_HAVE_SIMD
-  // Block-parallel AVX-512 fast path for the leading full blocks; every
-  // block re-seeds its state from its header, so the scalar loop resumes
-  // cleanly on whatever remainder the vector path leaves.
-  {
-    const uint32_t nb = run_simd_decode(data, size, *info, g, pcm);
-    off += size_t(nb) * g.block_size;
-    done += nb * info->num_samples_per_block;
-  }
-#endif
-  while (done < info->num_samples && off < size) {
-    const uint32_t limit = info->num_samples - done;
-    const uint32_t emit = std::min(info->num_samples_per_block, limit);
-    // Bound the read: a block must carry whole units covering its samples.
-    // (The reference reads past truncated buffers — reference:
-    // src/aad_decoder.c:394-455 has DEBUG-only bounds asserts; we reject.)
-    const uint32_t coded = emit > kFilterOrder ? emit - kFilterOrder : 0;
-    const uint32_t need =
-        g.header_bytes +
-        ((coded + g.samples_per_unit - 1) / g.samples_per_unit) * g.unit_bytes;
-    if (size - off < need) return AADX_INSUFFICIENT_DATA;
-    for (uint32_t ch = 0; ch < info->num_channels; ++ch)
-      chans[ch] = pcm + size_t(ch) * info->num_samples + done;
-    decode_block(data + off, *info, g, lms, chans, limit);
-    // Advance by the on-the-wire block size (the final block is truncated).
-    off += std::min<size_t>(info->block_size, size - off);
-    done += emit;
-  }
-  if (done < info->num_samples) return AADX_INSUFFICIENT_DATA;
-  return AADX_OK;
+int aadx_decode_blocks(const uint8_t* data, size_t size, uint32_t num_samples,
+                       int32_t* pcm, size_t capacity, const AadxInfo* cfg) {
+  // Streaming-chunk decode: `data` holds whole blocks back to back (no file
+  // header; the final block may be padded to block_size), `cfg` carries the
+  // stream's header fields, and num_samples per channel are emitted. Block
+  // self-containedness makes this exact regardless of chunk boundaries
+  // (reference: src/aad_decoder.c:301-352 re-seeds per block).
+  if (!data || !pcm || !cfg) return AADX_INVALID_ARGUMENT;
+  AadxInfo info = *cfg;
+  info.num_samples = num_samples;
+  int rc = check_info(info);
+  if (rc != AADX_OK) return rc;
+  Geometry g;
+  rc = derive_geometry(info.block_size, info.num_channels,
+                       info.bits_per_sample, &g);
+  if (rc != AADX_OK || g.block_size != info.block_size)
+    return AADX_INVALID_FORMAT;
+  if (capacity < size_t(info.num_channels) * num_samples)
+    return AADX_INSUFFICIENT_BUFFER;
+  return decode_stream(data, size, 0, info, g, pcm);
 }
 
 size_t aadx_encode_bound(uint32_t num_channels, uint32_t num_samples,
@@ -1160,8 +1189,19 @@ static int encode_impl(const int32_t* pcm, uint32_t num_channels,
                        uint32_t bits_per_sample, uint32_t max_block_size,
                        uint32_t ch_process_method, uint32_t num_encode_trials,
                        uint8_t* out, size_t capacity, size_t* out_size,
-                       bool independent_blocks) {
+                       bool independent_blocks,
+                       int32_t* state_io = nullptr, int32_t* prev_io = nullptr,
+                       uint32_t blocks_before = 0) {
+  // Chunk (streaming) mode when state_io != nullptr: no file header is
+  // written, the predictor chain starts from state_io ((C, 9): h[4], w[4],
+  // idx per channel) with prev_io ((C, nspb), channel-transformed domain)
+  // as the previous block when blocks_before > 0, and both carries are
+  // written back for the next chunk — the native mirror of
+  // ops/encode.py::encode_stream_blocks_carry's (CodecState, prev) carry.
+  const bool chunk_mode = state_io != nullptr;
   if (!pcm || !out || !out_size) return AADX_INVALID_ARGUMENT;
+  if (chunk_mode && (independent_blocks || !prev_io))
+    return AADX_INVALID_ARGUMENT;
 
   Geometry g;
   int rc = derive_geometry(max_block_size, num_channels, bits_per_sample, &g);
@@ -1179,21 +1219,23 @@ static int encode_impl(const int32_t* pcm, uint32_t num_channels,
   h.ch_process_method = ch_process_method;
   rc = check_info(h);
   if (rc != AADX_OK) return rc;
-  if (capacity < kHeaderSize) return AADX_INSUFFICIENT_BUFFER;
 
-  // file header
   uint8_t* p = out;
-  p[0] = 'A'; p[1] = 'A'; p[2] = 'D'; p[3] = 0;
-  wr_u32(p + 4, kFormatVersion);
-  wr_u32(p + 8, kCodecVersion);
-  wr_u16(p + 12, num_channels);
-  wr_u32(p + 14, num_samples);
-  wr_u32(p + 18, sampling_rate);
-  wr_u16(p + 22, bits_per_sample);
-  wr_u16(p + 24, g.block_size);
-  wr_u32(p + 26, g.samples_per_block);
-  p[30] = uint8_t(ch_process_method);
-  p += kHeaderSize;
+  if (!chunk_mode) {
+    if (capacity < kHeaderSize) return AADX_INSUFFICIENT_BUFFER;
+    // file header
+    p[0] = 'A'; p[1] = 'A'; p[2] = 'D'; p[3] = 0;
+    wr_u32(p + 4, kFormatVersion);
+    wr_u32(p + 8, kCodecVersion);
+    wr_u16(p + 12, num_channels);
+    wr_u32(p + 14, num_samples);
+    wr_u32(p + 18, sampling_rate);
+    wr_u16(p + 22, bits_per_sample);
+    wr_u16(p + 24, g.block_size);
+    wr_u32(p + 26, g.samples_per_block);
+    p[30] = uint8_t(ch_process_method);
+    p += kHeaderSize;
+  }
 
   const uint32_t nspb = g.samples_per_block;
   const bool ms = ch_process_method == 1 && num_channels == 2;
@@ -1203,6 +1245,18 @@ static int encode_impl(const int32_t* pcm, uint32_t num_channels,
   for (uint32_t ch = 0; ch < num_channels; ++ch) {
     cur[ch].resize(nspb);
     prev[ch].resize(nspb);
+  }
+  if (chunk_mode) {
+    for (uint32_t ch = 0; ch < num_channels; ++ch) {
+      const int32_t* s = state_io + size_t(ch) * 9;
+      for (int k = 0; k < kFilterOrder; ++k) state[ch].h[k] = s[k];
+      for (int k = 0; k < kFilterOrder; ++k)
+        state[ch].w[k] = s[kFilterOrder + k];
+      state[ch].idx = s[2 * kFilterOrder];
+      if (blocks_before > 0)
+        std::memcpy(prev[ch].data(), prev_io + size_t(ch) * nspb,
+                    sizeof(int32_t) * nspb);
+    }
   }
 
   uint32_t done0 = 0;
@@ -1228,14 +1282,11 @@ static int encode_impl(const int32_t* pcm, uint32_t num_channels,
     if (ms) ms_transform(cur[0], cur[1], n);
 
     if (num_encode_trials > 0) {
-      const bool has_prev = !independent_blocks && done >= nspb;
-      if (has_prev) {
-        for (uint32_t ch = 0; ch < num_channels; ++ch)
-          std::memcpy(prev[ch].data(),
-                      pcm + size_t(ch) * num_samples + done - nspb,
-                      sizeof(int32_t) * nspb);
-        if (ms) ms_transform(prev[0], prev[1], nspb);
-      }
+      // prev holds the previous block in the transformed domain: carried
+      // in (chunk mode) for the first block, swapped from cur thereafter.
+      const bool has_prev =
+          !independent_blocks &&
+          (done > done0 || (chunk_mode && blocks_before > 0));
       if (num_channels == 2) {
         // stereo: both channels' chains step together (see measure2)
         Lms best[2] = {state[0], state[1]};
@@ -1343,6 +1394,24 @@ static int encode_impl(const int32_t* pcm, uint32_t num_channels,
         }
       }
     }
+
+    // this block becomes the next one's warm-up context (content identical
+    // to the re-copy + re-transform it replaces, one transform cheaper)
+    if (!independent_blocks)
+      for (uint32_t ch = 0; ch < num_channels; ++ch)
+        std::swap(cur[ch], prev[ch]);
+  }
+
+  if (chunk_mode) {
+    for (uint32_t ch = 0; ch < num_channels; ++ch) {
+      int32_t* s = state_io + size_t(ch) * 9;
+      for (int k = 0; k < kFilterOrder; ++k) s[k] = state[ch].h[k];
+      for (int k = 0; k < kFilterOrder; ++k)
+        s[kFilterOrder + k] = state[ch].w[k];
+      s[2 * kFilterOrder] = state[ch].idx;
+      std::memcpy(prev_io + size_t(ch) * nspb, prev[ch].data(),
+                  sizeof(int32_t) * nspb);
+    }
   }
 
   *out_size = size_t(p - out);
@@ -1368,6 +1437,20 @@ int aadx_encode_parallel(const int32_t* pcm, uint32_t num_channels,
   return encode_impl(pcm, num_channels, num_samples, sampling_rate,
                      bits_per_sample, max_block_size, ch_process_method,
                      num_encode_trials, out, capacity, out_size, true);
+}
+
+int aadx_encode_chunk(const int32_t* pcm, uint32_t num_channels,
+                      uint32_t num_samples, uint32_t sampling_rate,
+                      uint32_t bits_per_sample, uint32_t max_block_size,
+                      uint32_t ch_process_method, uint32_t num_encode_trials,
+                      uint32_t blocks_before, int32_t* state_io,
+                      int32_t* prev_io, uint8_t* out, size_t capacity,
+                      size_t* out_size) {
+  if (!state_io || !prev_io) return AADX_INVALID_ARGUMENT;
+  return encode_impl(pcm, num_channels, num_samples, sampling_rate,
+                     bits_per_sample, max_block_size, ch_process_method,
+                     num_encode_trials, out, capacity, out_size, false,
+                     state_io, prev_io, blocks_before);
 }
 
 }  // extern "C"

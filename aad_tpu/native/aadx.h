@@ -64,6 +64,30 @@ int aadx_encode_parallel(const int32_t* pcm, uint32_t num_channels,
                          uint32_t num_encode_trials, uint8_t* out,
                          size_t capacity, size_t* out_size);
 
+/* Streaming-chunk encode: encode num_samples (whole blocks, or a final
+ * short tail) continuing a sequential chain. No file header is written.
+ * state_io is (num_channels, 9) int32 — h[4], w[4], idx per channel —
+ * and prev_io is (num_channels, num_samples_per_block) int32 holding the
+ * previous block in the channel-transformed domain; both are read (prev
+ * only when blocks_before > 0) and written back for the next chunk.
+ * Byte-concatenation across chunks equals the one-shot aadx_encode
+ * payload — the native mirror of the JAX streaming carry
+ * (aad_tpu/ops/encode.py::encode_stream_blocks_carry). */
+int aadx_encode_chunk(const int32_t* pcm, uint32_t num_channels,
+                      uint32_t num_samples, uint32_t sampling_rate,
+                      uint32_t bits_per_sample, uint32_t max_block_size,
+                      uint32_t ch_process_method, uint32_t num_encode_trials,
+                      uint32_t blocks_before, int32_t* state_io,
+                      int32_t* prev_io, uint8_t* out, size_t capacity,
+                      size_t* out_size);
+
+/* Streaming-chunk decode: data holds whole blocks back to back (no file
+ * header; the final block may be zero-padded to block_size on the wire),
+ * cfg carries the stream's header fields, and num_samples per channel are
+ * emitted into pcm (channel-major, capacity int32 slots). */
+int aadx_decode_blocks(const uint8_t* data, size_t size, uint32_t num_samples,
+                       int32_t* pcm, size_t capacity, const AadxInfo* cfg);
+
 /* Size helpers, mirroring the block-geometry rules. */
 int aadx_block_geometry(uint32_t max_block_size, uint32_t num_channels,
                         uint32_t bits_per_sample, uint32_t* block_size,

@@ -22,15 +22,16 @@ def _one_shot(pcm, **kw):
 
 
 class TestStreamingEncoder:
+    @pytest.mark.parametrize("engine", ["auto", "scan"])
     @pytest.mark.parametrize(
         "chunks", [[700, 700, 700, 400], [2500], [100] * 25, [1, 2499], [2499, 1]]
     )
-    def test_chunking_is_invisible(self, chunks):
+    def test_chunking_is_invisible(self, chunks, engine):
         assert sum(chunks) == 2500
         pcm = noise(2500, 1, seed=5)
         whole, cfg = _one_shot(pcm, max_block_size=256)
 
-        enc = StreamingEncoder(cfg)
+        enc = StreamingEncoder(cfg, engine=engine)
         payload = b""
         off = 0
         for n in chunks:
@@ -39,13 +40,14 @@ class TestStreamingEncoder:
         payload += enc.finish()
         assert enc.header() + payload == whole
 
-    def test_stereo_ms_with_trials(self):
+    @pytest.mark.parametrize("engine", ["auto", "scan"])
+    def test_stereo_ms_with_trials(self, engine):
         pcm = noise(3000, 2, seed=6)
         pcm[1] = sine(3000, 1)[0]
         whole, cfg = _one_shot(
             pcm, max_block_size=128, ch_process_method=1, num_encode_trials=2
         )
-        enc = StreamingEncoder(cfg)
+        enc = StreamingEncoder(cfg, engine=engine)
         payload = enc.push(pcm[:, :1000])
         payload += enc.push(pcm[:, 1000:2200])
         payload += enc.push(pcm[:, 2200:])
@@ -62,13 +64,14 @@ class TestStreamingEncoder:
 
 
 class TestStreamingDecoder:
+    @pytest.mark.parametrize("engine", ["auto", "scan"])
     @pytest.mark.parametrize("feed", [1, 7, 64, 100000])
-    def test_byte_dribble(self, feed):
+    def test_byte_dribble(self, feed, engine):
         pcm = noise(2000, 2, seed=7)
         data, _ = _one_shot(pcm, max_block_size=128)
         _, whole = decode(data, engine="scan")
 
-        dec = StreamingDecoder(engine="scan")
+        dec = StreamingDecoder(engine=engine)
         outs = []
         for off in range(0, len(data), feed):
             out = dec.push(data[off : off + feed])
@@ -130,17 +133,66 @@ class TestStreamingDecoder:
         t2 = feed(2_000_000)
         assert t2 < 3.5 * t1 + 0.2, f"push scaling {t1:.2f}s -> {t2:.2f}s"
 
-    def test_header_only_tail_block(self):
+    @pytest.mark.parametrize("engine", ["auto", "scan"])
+    def test_header_only_tail_block(self, engine):
         from aad_tpu.format.geometry import compute_block_geometry
 
         geo = compute_block_geometry(256, 1, 4)
         n = geo.num_samples_per_block + 2  # 2-sample tail: header-only block
         pcm = sine(n, 1)
         data, _ = _one_shot(pcm, max_block_size=256)
-        dec = StreamingDecoder(engine="scan")
+        dec = StreamingDecoder(engine=engine)
         got = dec.push(data)
         _, whole = decode(data, engine="scan")
         np.testing.assert_array_equal(got, np.asarray(whole))
+
+
+class TestNativeStreaming:
+    """The native streaming carry (aadx_encode_chunk / aadx_decode_blocks)
+    pinned across the geometry grid: byte-identical to the one-shot stream
+    for every chunk cadence, and the decode chunk-boundary-invisible."""
+
+    @pytest.mark.parametrize(
+        "nch,bps,mbs,ms,trials",
+        [
+            (2, 4, 1024, 0, 2),
+            (2, 4, 1024, 1, 2),
+            (1, 3, 256, 0, 1),
+            (2, 2, 128, 0, 3),
+            (1, 4, 4096, 0, 0),
+            (2, 3, 1024, 1, 2),
+        ],
+    )
+    def test_grid_matches_one_shot(self, nch, bps, mbs, ms, trials):
+        from aad_tpu import native
+
+        if not native.available():
+            pytest.skip("native codec unavailable")
+        cfg = EncodeConfig(
+            num_channels=nch, sampling_rate=48000, bits_per_sample=bps,
+            max_block_size=mbs, ch_process_method=ms,
+            num_encode_trials=trials,
+        )
+        nspb = cfg.geometry().num_samples_per_block
+        n = nspb * 5 + 77  # ragged tail
+        pcm = noise(n, nch, seed=bps * 10 + nch)
+        whole = encode(pcm, cfg, engine="scan")
+
+        enc = StreamingEncoder(cfg, engine="native", total_samples=n)
+        parts = [enc.header()]
+        pos = 0
+        for c in (nspb - 3, 2 * nspb, nspb + 10, 1):
+            parts.append(enc.push(pcm[:, pos : pos + c]))
+            pos += c
+        parts.append(enc.push(pcm[:, pos:]))
+        parts.append(enc.finish())
+        assert b"".join(parts) == whole
+
+        dec = StreamingDecoder(engine="native")
+        outs = [dec.push(whole[i : i + 997]) for i in range(0, len(whole), 997)]
+        got = np.concatenate(outs, axis=1)
+        _, want = decode(whole, engine="scan")
+        np.testing.assert_array_equal(got.astype(np.int32), np.asarray(want))
 
 
 class TestBatchDecode:
