@@ -246,6 +246,17 @@ def main() -> None:
         extra["encode_parallel_native_vs_baseline"] = round(
             par_native / enc_baseline, 2
         )
+    stream_enc, stream_dec = measure_streaming()
+    if stream_enc:
+        extra["encode_streaming_samples_per_sec"] = round(stream_enc)
+        extra["encode_streaming_vs_baseline"] = round(
+            stream_enc / enc_baseline, 2
+        )
+    if stream_dec:
+        extra["decode_streaming_samples_per_sec"] = round(stream_dec)
+        extra["decode_streaming_vs_baseline"] = round(
+            stream_dec / baseline, 2
+        )
     print(
         json.dumps(
             {
@@ -397,6 +408,60 @@ def measure_encode_parallel():
         return total / dt
     except Exception:
         return 0
+
+
+def measure_streaming():
+    """Streaming push-based encode + decode wall time (engine='auto').
+
+    One-minute stereo stream pushed in 1-second chunks through
+    StreamingEncoder, then the bytes dribbled back through
+    StreamingDecoder in 64 KiB pushes — the progressive-transmission
+    workload. Off-accelerator, auto routes to the native chunk entries
+    (aadx_encode_chunk / aadx_decode_blocks). Returns
+    (encode samples/s, decode samples/s); 0s on failure.
+    """
+    try:
+        from aad_tpu.codec.encoder import EncodeConfig
+        from aad_tpu.codec.streaming import StreamingDecoder, StreamingEncoder
+
+        cfg = EncodeConfig(num_channels=NCH, sampling_rate=RATE)
+        n = RATE * 60
+        t = np.arange(n) / RATE
+        sig = (0.4 * 32767 * np.sin(2 * np.pi * 440 * t)).astype(np.int32)
+        pcm = np.stack([sig, np.roll(sig, 11)])
+
+        def run_encode():
+            enc = StreamingEncoder(cfg, total_samples=n)
+            parts = [enc.header()]
+            for i in range(0, n, RATE):
+                parts.append(enc.push(pcm[:, i : i + RATE]))
+            parts.append(enc.finish())
+            return b"".join(parts)
+
+        data = run_encode()  # warm (library load / jit)
+        enc_best = 0.0
+        for _ in range(3):
+            t0 = time.time()
+            run_encode()
+            enc_best = max(enc_best, pcm.size / (time.time() - t0))
+
+        def run_decode():
+            dec = StreamingDecoder()
+            outs = [
+                dec.push(data[i : i + 65536])
+                for i in range(0, len(data), 65536)
+            ]
+            return outs[-1]
+
+        run_decode()  # warm
+        dec_best = 0.0
+        for _ in range(3):
+            t0 = time.time()
+            run_decode()
+            dec_best = max(dec_best, pcm.size / (time.time() - t0))
+        return enc_best, dec_best
+    except Exception:
+        return 0, 0
 
 
 def measure_encode_parallel_native():
