@@ -353,7 +353,15 @@ def main(argv=None) -> int:
         if by_long["encode"].acquired:
             fmt, pcm = _read_wav_16bit(args.input)
             data = _encode(args, pcm, fmt)
-            with open(args.output, "wb") as f:
+            try:
+                f = open(args.output, "wb")
+            except OSError:
+                # note: no period, unlike the input-open diagnostic
+                # (reference: src/main.c:208)
+                raise _CliFailure(
+                    f"Failed to open output file {args.output} \n"
+                ) from None
+            with f:
                 f.write(data)
             return 0
 

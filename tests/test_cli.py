@@ -179,9 +179,24 @@ class TestErrors:
             ["-i", str(tmp_path / "none.aad")],
             ["-e", "-b", "9", str(short_wav), out],    # encode parameter
             ["-c", "-s", "17", str(short_wav)],
+            # output fopen failure (no period in this one, src/main.c:208)
+            ["-e", str(short_wav), "/nonexistent_dir/x.aad"],
         ]
         for argv in cases:
             _compare_to_reference(reference_cli, argv)
+
+    def test_unwritable_wav_output_fails_loudly(self, reference_cli,
+                                                short_wav, tmp_path):
+        """Intentional divergence (PARITY.md): the reference ignores
+        WAV_WriteToFile's result and exits 0 having written nothing
+        (src/main.c:129, :400); we fail with the open diagnostic."""
+        aad = tmp_path / "w.aad"
+        subprocess.run(
+            [str(reference_cli), "-e", str(short_wav), str(aad)], check=True
+        )
+        r = run_cli(["-d", str(aad), "/nonexistent_dir/x.wav"])
+        assert r.returncode == 1
+        assert r.stderr == "Failed to open /nonexistent_dir/x.wav. \n"
 
     def test_lenient_decode_env_var(self, reference_cli, short_wav, tmp_path):
         """AAD_TPU_STRICT=0 reproduces the reference's decode-what's-there
