@@ -481,6 +481,34 @@ class Decoder:
         )
 
 
+def _native_lenient(native, buf: np.ndarray, header, geo) -> np.ndarray:
+    """Lenient (strict=False) truncated decode through the native engine.
+
+    The lenient contract — every block chunk still holding its block header
+    decodes with the missing trailing bytes as zero codes, the undecoded
+    tail is zero samples (Decoder.decode_payload_ondevice) — is exactly
+    what the native whole-block path computes on a zero-padded payload:
+    zero code bytes ARE zero codes.
+    """
+    nspb = header.num_samples_per_block
+    payload = buf[FILE_HEADER_SIZE:]
+    from ..format.geometry import num_blocks_for
+
+    nblocks = num_blocks_for(header.num_samples, nspb)
+    full_b, rem = divmod(int(payload.shape[0]), geo.block_size)
+    nb_avail = min(nblocks, full_b + (1 if rem >= geo.header_bytes else 0))
+    decoded_n = min(header.num_samples, nb_avail * nspb)
+    out = np.zeros((header.num_channels, header.num_samples), dtype=np.int32)
+    if nb_avail:
+        span = min(int(payload.shape[0]), nb_avail * geo.block_size)
+        padded = np.zeros(nb_avail * geo.block_size + 4, dtype=np.uint8)
+        padded[:span] = payload[:span]
+        out[:, :decoded_n] = native.decode_payload_blocks(
+            padded, header, decoded_n
+        )
+    return out
+
+
 def decode(
     data: bytes | np.ndarray, engine: str = "auto", strict: bool = True
 ) -> tuple[HeaderInfo, np.ndarray]:
@@ -503,7 +531,8 @@ def decode(
     ``strict=False`` opts into the reference's decode-what's-there behaviour
     on truncated payloads: available whole blocks decode, the missing tail
     returns as zero samples (see Decoder.decode_payload_ondevice). The
-    default raises InsufficientDataError on any mid-stream cut.
+    default raises InsufficientDataError on any mid-stream cut. The native
+    engine serves lenient decodes too (see _native_lenient).
     """
     buf = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(
         data, (bytes, bytearray)
@@ -511,32 +540,23 @@ def decode(
     header = decode_header(buf.tobytes()[:FILE_HEADER_SIZE])
     validate_header(header)
 
-    # The native engine is strict-only; lenient decodes of truncated
-    # payloads route through the device/scan pipeline instead.
     from ..format.geometry import encoded_stream_size, geometry_from_header
 
-    truncated = not strict and buf.shape[0] - FILE_HEADER_SIZE < (
-        encoded_stream_size(
-            geometry_from_header(
-                header.num_channels, header.bits_per_sample, header.block_size
-            ),
-            header.num_samples,
-        )
+    geo = geometry_from_header(
+        header.num_channels, header.bits_per_sample, header.block_size
     )
-    if engine == "auto" and not truncated:
+    truncated = not strict and buf.shape[0] - FILE_HEADER_SIZE < (
+        encoded_stream_size(geo, header.num_samples)
+    )
+    if engine in ("auto", "native"):
         from .. import native
 
         if native.available():
-            return native.decode(buf)
-    elif engine == "native":
-        if truncated:
-            raise InvalidArgumentError(
-                "engine='native' does not support strict=False on truncated "
-                "payloads; use engine='auto' or a JAX engine"
-            )
-        from .. import native
-
-        return native.decode(buf)
+            if not truncated:
+                return native.decode(buf)
+            return header, _native_lenient(native, buf, header, geo)
+        if engine == "native":
+            raise RuntimeError("native codec unavailable")
 
     dec = Decoder.from_header(header, engine=engine)
     pcm = dec.decode_payload_ondevice(buf[FILE_HEADER_SIZE:], strict=strict)

@@ -150,19 +150,21 @@ class TestLenientTruncation:
     def stream(self, fixture_dir):
         return (fixture_dir / "sin300Hz.aad").read_bytes()
 
-    def test_block_boundary_cut_decodes_prefix(self, stream):
+    @pytest.mark.parametrize("engine", ["scan", "auto"])
+    def test_block_boundary_cut_decodes_prefix(self, stream, engine):
         from aad_tpu import FILE_HEADER_SIZE
 
         header, whole = decode(stream, engine="scan")
         bs = header.block_size
         nspb = header.num_samples_per_block
         cut = FILE_HEADER_SIZE + 5 * bs  # exactly five whole blocks
-        _, got = decode(stream[:cut], engine="scan", strict=False)
+        _, got = decode(stream[:cut], engine=engine, strict=False)
         assert got.shape == whole.shape
         np.testing.assert_array_equal(got[:, : 5 * nspb], whole[:, : 5 * nspb])
         assert not np.any(got[:, 5 * nspb :])
 
-    def test_midblock_cut_keeps_whole_blocks(self, stream):
+    @pytest.mark.parametrize("engine", ["scan", "auto"])
+    def test_midblock_cut_keeps_whole_blocks(self, stream, engine):
         from aad_tpu import FILE_HEADER_SIZE
 
         header, whole = decode(stream, engine="scan")
@@ -172,10 +174,11 @@ class TestLenientTruncation:
         # partial block decodes with the missing bytes as zero codes, so
         # only the first 3 whole blocks are asserted sample-exact
         cut = FILE_HEADER_SIZE + 3 * bs + 40
-        _, got = decode(stream[:cut], engine="scan", strict=False)
+        _, got = decode(stream[:cut], engine=engine, strict=False)
         np.testing.assert_array_equal(got[:, : 3 * nspb], whole[:, : 3 * nspb])
 
-    def test_subheader_fragment_dropped(self, stream):
+    @pytest.mark.parametrize("engine", ["scan", "auto"])
+    def test_subheader_fragment_dropped(self, stream, engine):
         from aad_tpu import FILE_HEADER_SIZE
 
         header, whole = decode(stream, engine="scan")
@@ -183,7 +186,7 @@ class TestLenientTruncation:
         nspb = header.num_samples_per_block
         # 10 bytes < the 36-byte stereo block header: fragment is dropped
         cut = FILE_HEADER_SIZE + 2 * bs + 10
-        _, got = decode(stream[:cut], engine="scan", strict=False)
+        _, got = decode(stream[:cut], engine=engine, strict=False)
         np.testing.assert_array_equal(got[:, : 2 * nspb], whole[:, : 2 * nspb])
         assert not np.any(got[:, 2 * nspb :])
 
@@ -192,8 +195,24 @@ class TestLenientTruncation:
         _, got = decode(stream, engine="scan", strict=False)
         np.testing.assert_array_equal(got, want)
 
-    def test_native_engine_rejects_lenient_truncation(self, stream):
-        from aad_tpu.codec.result import InvalidArgumentError
+    def test_native_lenient_matches_scan_exactly(self, stream):
+        """The partial block's zero-code decode must agree bit-for-bit
+        between the JAX prefix path and the native zero-padded-span path
+        (zero code bytes ARE zero codes), at every cut class."""
+        from aad_tpu import FILE_HEADER_SIZE
+        from aad_tpu import native
 
-        with pytest.raises(InvalidArgumentError):
-            decode(stream[:-100], engine="native", strict=False)
+        if not native.available():
+            pytest.skip("native codec unavailable")
+        header, _ = decode(stream, engine="scan")
+        bs = header.block_size
+        for cut in (
+            FILE_HEADER_SIZE + 5 * bs,       # block boundary
+            FILE_HEADER_SIZE + 3 * bs + 40,  # mid-data
+            FILE_HEADER_SIZE + 2 * bs + 10,  # sub-header fragment
+            FILE_HEADER_SIZE + 2,            # sub-header of block 0
+            len(stream) - 1,                 # one byte short
+        ):
+            _, want = decode(stream[:cut], engine="scan", strict=False)
+            _, got = decode(stream[:cut], engine="native", strict=False)
+            np.testing.assert_array_equal(got, np.asarray(want))
