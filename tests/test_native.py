@@ -258,6 +258,54 @@ class TestGeometryFuzz:
         _, ref_pcm = read_wav(str(ref_wav))
         np.testing.assert_array_equal(np.asarray(dj), ref_pcm >> 16)
 
+    @pytest.mark.parametrize("seed", range(4))
+    def test_random_geometry_streaming_carry(self, seed):
+        """The native streaming carry (aadx_encode_chunk / decode_blocks)
+        under random geometry AND random push cadence: chunked bytes must
+        equal the one-shot native stream (itself reference-binary-pinned
+        above), and the streaming decoder must reproduce the one-shot
+        samples at random byte-feed sizes."""
+        from aad_tpu.codec.encoder import EncodeConfig
+        from aad_tpu.codec.streaming import StreamingDecoder, StreamingEncoder
+
+        rng = np.random.default_rng(3000 + seed)
+        nch = int(rng.integers(1, 3))
+        bps = int(rng.integers(2, 5))
+        mbs = int(rng.integers(40 * nch, 700))
+        cfg = EncodeConfig(
+            num_channels=nch,
+            sampling_rate=8000,
+            bits_per_sample=bps,
+            max_block_size=mbs,
+            ch_process_method=int(rng.integers(0, 2)) if nch == 2 else 0,
+            num_encode_trials=int(rng.integers(0, 3)),
+        )
+        nspb = cfg.geometry().num_samples_per_block
+        n = int(rng.integers(1, 6 * nspb + 2))
+        pcm = rng.integers(-32768, 32768, (nch, n)).astype(np.int32)
+        whole = native.encode(pcm, cfg)
+
+        enc = StreamingEncoder(cfg, engine="native", total_samples=n)
+        parts = [enc.header()]
+        pos = 0
+        while pos < n:
+            c = int(rng.integers(1, 2 * nspb + 1))
+            parts.append(enc.push(pcm[:, pos : pos + c]))
+            pos += c
+        parts.append(enc.finish())
+        assert b"".join(parts) == whole, f"streaming carry diverged: {cfg}"
+
+        dec = StreamingDecoder(engine="native")
+        outs = []
+        pos = 0
+        while pos < len(whole):
+            c = int(rng.integers(1, 4096))
+            outs.append(dec.push(whole[pos : pos + c]))
+            pos += c
+        got = np.concatenate(outs, axis=1)
+        _, want = native.decode(whole)
+        np.testing.assert_array_equal(got.astype(np.int32), want)
+
     @pytest.mark.parametrize("seed", range(3))
     def test_random_geometry_parallel_mode(self, seed):
         """Parallel mode upholds its per-block-concat property on random
