@@ -313,6 +313,39 @@ void measure2(Lms* s0, const int32_t* x0, Lms* s1, const int32_t* x1,
   *sse1 = b;
 }
 
+// Mono probe + first-prev measure fused: the baseline probe (over the
+// current block, length n) and the trial walker's first warm-up pass
+// (over the previous block, length m) are independent chains — stepping
+// them together is the mono counterpart of the stereo measure2
+// interleave. Per-chain op order is identical to measure().
+void measure_pair(Lms* p, const int32_t* c, uint32_t n, int64_t* psse,
+                  Lms* w, const int32_t* v, uint32_t m, uint32_t bps) {
+  if (n < kFilterOrder || m < kFilterOrder) {  // measure()'s early-outs
+    *psse = measure(p, c, n, bps);
+    measure(w, v, m, bps);
+    return;
+  }
+  p->seed(c, n);
+  w->seed(v, m);
+  int64_t a = 0;
+  int32_t qd;
+  const uint32_t joint = std::min(n, m);
+  uint32_t t = kFilterOrder;
+  for (; t < joint; ++t) {
+    int32_t q;
+    p->encode(c[t], bps, &q);
+    w->encode(v[t], bps, &qd);
+    a += int64_t(int32_t(q * q));
+  }
+  for (; t < n; ++t) {
+    int32_t q;
+    p->encode(c[t], bps, &q);
+    a += int64_t(int32_t(q * q));
+  }
+  for (; t < m; ++t) w->encode(v[t], bps, &qd);
+  *psse = a;
+}
+
 // ---- AVX-512 block-parallel decode ----------------------------------------
 //
 // Decode is embarrassingly parallel across blocks: every block header carries
@@ -1322,10 +1355,17 @@ static int encode_impl(const int32_t* pcm, uint32_t num_channels,
       } else {
         Lms best = state[0];
         Lms probe = state[0];
-        int64_t best_sse = measure(&probe, cur[0].data(), n, bits_per_sample);
         Lms walker = state[0];
+        int64_t best_sse;
+        if (has_prev) {
+          // fuse the probe with the walker's first prev pass (measure_pair)
+          measure_pair(&probe, cur[0].data(), n, &best_sse, &walker,
+                       prev[0].data(), nspb, bits_per_sample);
+        } else {
+          best_sse = measure(&probe, cur[0].data(), n, bits_per_sample);
+        }
         for (uint32_t trial = 0; trial < num_encode_trials; ++trial) {
-          if (has_prev)
+          if (has_prev && trial > 0)
             measure(&walker, prev[0].data(), nspb, bits_per_sample);
           const Lms candidate = walker;
           const int64_t sse =
