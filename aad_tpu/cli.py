@@ -397,8 +397,12 @@ def main(argv=None) -> int:
         # note the reference omits the space after the colon here)
         sys.stderr.write(f"Failed to encode. API result:{e.result.value} \n")
         return 1
-    except FileNotFoundError as e:
-        sys.stderr.write(f"Failed to open {e.filename}. \n")
+    except OSError as e:
+        # WAV output writes are the only opens not wrapped site-specifically
+        # above; any failure class (missing dir, permission, is-a-directory)
+        # gets the open diagnostic rather than a traceback.
+        name = e.filename if e.filename is not None else args.output
+        sys.stderr.write(f"Failed to open {name}. \n")
         return 1
 
 

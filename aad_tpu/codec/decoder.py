@@ -349,9 +349,11 @@ class Decoder:
                 raise InsufficientDataError(
                     f"payload holds {payload.shape[-1]} bytes; {need} required"
                 )
-            full_b, rem = divmod(int(payload.shape[-1]), geo.block_size)
-            nb_avail = min(nblocks, full_b + (1 if rem >= geo.header_bytes else 0))
-            decoded_n = min(h.num_samples, nb_avail * h.num_samples_per_block)
+            from ..format.geometry import lenient_prefix
+
+            nb_avail, decoded_n = lenient_prefix(
+                geo, h.num_samples, payload.shape[-1]
+            )
             out = np.zeros((h.num_channels, h.num_samples), dtype=np.int16)
             if nb_avail:
                 out[:, :decoded_n] = self._decode_prefix(
@@ -490,14 +492,12 @@ def _native_lenient(native, buf: np.ndarray, header, geo) -> np.ndarray:
     what the native whole-block path computes on a zero-padded payload:
     zero code bytes ARE zero codes.
     """
-    nspb = header.num_samples_per_block
     payload = buf[FILE_HEADER_SIZE:]
-    from ..format.geometry import num_blocks_for
+    from ..format.geometry import lenient_prefix
 
-    nblocks = num_blocks_for(header.num_samples, nspb)
-    full_b, rem = divmod(int(payload.shape[0]), geo.block_size)
-    nb_avail = min(nblocks, full_b + (1 if rem >= geo.header_bytes else 0))
-    decoded_n = min(header.num_samples, nb_avail * nspb)
+    nb_avail, decoded_n = lenient_prefix(
+        geo, header.num_samples, payload.shape[0]
+    )
     out = np.zeros((header.num_channels, header.num_samples), dtype=np.int32)
     if nb_avail:
         span = min(int(payload.shape[0]), nb_avail * geo.block_size)
@@ -548,15 +548,13 @@ def decode(
     truncated = not strict and buf.shape[0] - FILE_HEADER_SIZE < (
         encoded_stream_size(geo, header.num_samples)
     )
-    if engine in ("auto", "native"):
-        from .. import native
+    from .. import native as _native_mod
 
-        if native.available():
-            if not truncated:
-                return native.decode(buf)
-            return header, _native_lenient(native, buf, header, geo)
-        if engine == "native":
-            raise RuntimeError("native codec unavailable")
+    native = _native_mod.resolve(engine)
+    if native is not None:
+        if not truncated:
+            return native.decode(buf)
+        return header, _native_lenient(native, buf, header, geo)
 
     dec = Decoder.from_header(header, engine=engine)
     pcm = dec.decode_payload_ondevice(buf[FILE_HEADER_SIZE:], strict=strict)

@@ -47,14 +47,9 @@ class StreamingEncoder:
         # Hybrid dispatch, mirroring the one-shot encode(): a streaming
         # stream is a sequential chain, which the native host engine wins
         # (docs/DESIGN.md §3) — the JAX engines serve explicit overrides.
-        self._native = None
-        if engine in ("auto", "native"):
-            from .. import native
+        from .. import native
 
-            if native.available():
-                self._native = native
-            elif engine == "native":
-                raise RuntimeError("native codec unavailable")
+        self._native = native.resolve(engine)
         if self._native is None:
             from .encoder import resolve_encode_engine
 
@@ -227,14 +222,9 @@ class StreamingDecoder:
         # Hybrid dispatch, mirroring the one-shot decode(): per-push decodes
         # are transfer/dispatch-bound on an accelerator, so auto routes to
         # the native host engine; explicit JAX engines override.
-        self._native = None
-        if engine in ("auto", "native"):
-            from .. import native
+        from .. import native
 
-            if native.available():
-                self._native = native
-            elif engine == "native":
-                raise RuntimeError("native codec unavailable")
+        self._native = native.resolve(engine)
         self._buffer = _ByteFIFO()
         self._header = None
         self._geometry = None

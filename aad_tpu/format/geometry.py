@@ -137,6 +137,26 @@ def last_block_valid_samples(num_samples: int, num_samples_per_block: int) -> in
     return rem if rem else num_samples_per_block
 
 
+def lenient_prefix(
+    geo: BlockGeometry, num_samples: int, payload_bytes: int
+) -> tuple[int, int]:
+    """Decodable (blocks, samples) of a truncated payload, lenient mode.
+
+    The lenient (decode-what's-there) contract: a block chunk counts iff
+    its block header is fully present — the last, partial one decodes with
+    the missing trailing bytes as zero codes (reference loop exit:
+    src/aad_decoder.c:514-538). Shared by the JAX prefix path
+    (Decoder.decode_payload_ondevice) and the native zero-padded-span path
+    (codec.decoder._native_lenient) so the two stay definitionally
+    identical.
+    """
+    nblocks = num_blocks_for(num_samples, geo.num_samples_per_block)
+    full_b, rem = divmod(int(payload_bytes), geo.block_size)
+    nb_avail = min(nblocks, full_b + (1 if rem >= geo.header_bytes else 0))
+    decoded_n = min(num_samples, nb_avail * geo.num_samples_per_block)
+    return nb_avail, decoded_n
+
+
 def encoded_block_bytes(geo: BlockGeometry, valid_samples: int) -> int:
     """On-the-wire size of a block holding ``valid_samples`` samples.
 

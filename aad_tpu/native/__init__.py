@@ -112,6 +112,23 @@ def available() -> bool:
     return _load() is not None
 
 
+def resolve(engine: str):
+    """The hybrid-dispatch gate, shared by every auto-routing call site.
+
+    Returns this module when ``engine`` is "auto"/"native" and the library
+    loads, None when a JAX engine should serve instead, and raises for an
+    explicit ``engine="native"`` that cannot be satisfied.
+    """
+    if engine in ("auto", "native"):
+        if available():
+            import sys
+
+            return sys.modules[__name__]
+        if engine == "native":
+            raise RuntimeError("native codec unavailable")
+    return None
+
+
 def _as_header(info: _AadxInfo) -> HeaderInfo:
     return HeaderInfo(
         format_version=info.format_version,
@@ -265,6 +282,11 @@ def encode_chunk(
     :func:`encode` stream exactly — the native counterpart of
     ops/encode.py::encode_stream_blocks_carry, serving StreamingEncoder's
     hybrid dispatch off-accelerator.
+
+    Every chunk except the stream's last must be a whole number of blocks
+    (StreamingEncoder buffers to guarantee this); a short chunk is encoded
+    as a final truncated block, so pushing more data after one produces a
+    divergent stream.
     """
     lib = _load()
     if lib is None:
@@ -276,11 +298,20 @@ def encode_chunk(
     )
     if bound == 0:
         raise InvalidFormatError("bad encode parameters (native)")
+    nspb = config.geometry().num_samples_per_block
     if not (
         state.dtype == np.int32 and state.flags.c_contiguous
+        and state.shape == (nch, 9)
         and prev.dtype == np.int32 and prev.flags.c_contiguous
+        and prev.shape == (nch, nspb)
     ):
-        raise InvalidArgumentError("carry arrays must be C-contiguous int32")
+        # The C write-back memcpys (nch, 9) / (nch, nspb) into these, so a
+        # carry built for a different config would corrupt the heap.
+        raise InvalidArgumentError(
+            f"carry must be C-contiguous int32 of shapes ({nch}, 9) and "
+            f"({nch}, {nspb}); got {state.shape}/{state.dtype}, "
+            f"{prev.shape}/{prev.dtype} (use stream_state(config))"
+        )
     out = np.empty(bound, dtype=np.uint8)
     out_size = ctypes.c_size_t()
     rc = lib.aadx_encode_chunk(

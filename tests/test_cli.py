@@ -197,6 +197,11 @@ class TestErrors:
         r = run_cli(["-d", str(aad), "/nonexistent_dir/x.wav"])
         assert r.returncode == 1
         assert r.stderr == "Failed to open /nonexistent_dir/x.wav. \n"
+        # every OSError class gets the diagnostic, not a traceback
+        # (IsADirectoryError here — permission errors don't bite as root)
+        r = run_cli(["-d", str(aad), str(tmp_path)])
+        assert r.returncode == 1
+        assert r.stderr == f"Failed to open {tmp_path}. \n"
 
     def test_lenient_decode_env_var(self, reference_cli, short_wav, tmp_path):
         """AAD_TPU_STRICT=0 reproduces the reference's decode-what's-there

@@ -194,6 +194,27 @@ class TestNativeStreaming:
         _, want = decode(whole, engine="scan")
         np.testing.assert_array_equal(got.astype(np.int32), np.asarray(want))
 
+    def test_carry_shape_gate(self):
+        """A carry built for a different config must be rejected, never
+        passed to the C write-back (it would corrupt the heap)."""
+        from aad_tpu import native
+        from aad_tpu.codec.result import InvalidArgumentError
+
+        if not native.available():
+            pytest.skip("native codec unavailable")
+        cfg = EncodeConfig(num_channels=2, sampling_rate=48000)
+        other = EncodeConfig(
+            num_channels=2, sampling_rate=48000, max_block_size=128
+        )
+        nspb = cfg.geometry().num_samples_per_block
+        pcm = noise(nspb, 2, seed=1)
+        state, prev = native.stream_state(other)  # wrong nspb
+        with pytest.raises(InvalidArgumentError):
+            native.encode_chunk(pcm, cfg, state, prev, 0)
+        state, _ = native.stream_state(cfg)
+        with pytest.raises(InvalidArgumentError):
+            native.encode_chunk(pcm, cfg, state[:1], prev, 0)  # wrong nch
+
 
 class TestBatchDecode:
     def test_heterogeneous_pile(self):
