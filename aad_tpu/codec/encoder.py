@@ -462,23 +462,23 @@ def encode(
     (native/aadx.cc, byte-identical); the chunked/warm quality knobs are
     JAX-only. Pass "scan"/"pallas"/"native" to override.
     """
-    plain_parallel = (
-        parallel_blocks and parallel_chunk_blocks == 1
-        and parallel_warm_passes == 0
-    )
+    # the native engine serves any chunk_blocks; warm passes stay JAX-only
+    # (a Jacobi chain-state handoff between chunks, docs/DESIGN.md §1a)
+    native_parallel = parallel_blocks and parallel_warm_passes == 0
     if engine == "native":
         from .. import native
 
         if parallel_blocks:
-            if not plain_parallel:
+            if not native_parallel:
                 raise InvalidArgumentError(
                     "engine='native' supports parallel_blocks only with "
-                    "chunk_blocks=1 and warm_passes=0; use a JAX engine for "
-                    "the chunked/warm quality knobs"
+                    "warm_passes=0; use a JAX engine for the Jacobi warm "
+                    "quality knob"
                 )
             config.validate()
             return native.encode_parallel(
-                np.asarray(pcm, dtype=np.int32), config
+                np.asarray(pcm, dtype=np.int32), config,
+                chunk_blocks=parallel_chunk_blocks,
             )
         return native.encode(np.asarray(pcm, dtype=np.int32), config)
     if engine == "auto" and not parallel_blocks:
@@ -487,8 +487,8 @@ def encode(
         if native.available():
             config.validate()
             return native.encode(np.asarray(pcm, dtype=np.int32), config)
-    if engine == "auto" and plain_parallel:
-        # Off-accelerator, the AVX-512 block-parallel host engine (~110 M
+    if engine == "auto" and native_parallel:
+        # Off-accelerator, the AVX-512 block-parallel host engine (~160 M
         # samples/s) beats the scan engine by orders of magnitude; on TPU
         # the fused kernel path (~10 G samples/s) keeps the work.
         from ..ops.decode import _on_tpu
@@ -499,7 +499,8 @@ def encode(
             if native.available():
                 config.validate()
                 return native.encode_parallel(
-                    np.asarray(pcm, dtype=np.int32), config
+                    np.asarray(pcm, dtype=np.int32), config,
+                    chunk_blocks=parallel_chunk_blocks,
                 )
     return Encoder.from_config(
         config, engine=engine, parallel_blocks=parallel_blocks,

@@ -219,16 +219,21 @@ def encode(pcm: np.ndarray, config) -> bytes:
     return out[: out_size.value].tobytes()
 
 
-def encode_parallel(pcm: np.ndarray, config) -> bytes:
+def encode_parallel(pcm: np.ndarray, config, chunk_blocks: int = 1) -> bytes:
     """Native block-independent (parallel-mode) encode.
 
-    Byte-identical to ``aad_tpu.encode(pcm, config, parallel_blocks=True)``
-    at chunk_blocks=1 / warm_passes=0 (every block a stream head); the
-    host-engine counterpart of ops/encode.py::encode_blocks_parallel.
+    Byte-identical to ``aad_tpu.encode(pcm, config, parallel_blocks=True,
+    parallel_chunk_blocks=chunk_blocks)`` at warm_passes=0: chunks of
+    ``chunk_blocks`` blocks encode sequentially within (full trial
+    warm-up) and in parallel across chunks on the AVX-512 lanes — the
+    host-engine counterpart of ops/encode.py::encode_blocks_parallel and
+    its chunked quality knob (docs/DESIGN.md §1a).
     """
     lib = _load()
     if lib is None:
         raise RuntimeError("native codec unavailable")
+    if chunk_blocks < 1:
+        raise InvalidArgumentError(f"chunk_blocks must be >= 1: {chunk_blocks}")
     pcm = _check_pcm(pcm, config)
     nch, n = pcm.shape
     bound = lib.aadx_encode_bound(
@@ -247,6 +252,7 @@ def encode_parallel(pcm: np.ndarray, config) -> bytes:
         config.max_block_size,
         config.ch_process_method,
         config.num_encode_trials,
+        chunk_blocks,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out.size,
         ctypes.byref(out_size),

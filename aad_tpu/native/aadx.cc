@@ -831,38 +831,49 @@ inline LaneState zero_state() {
 
 // Encode one chunk of G*16/NCH full blocks starting at block b0; writes the
 // blocks' wire bytes directly into out (headers + interleaved data units).
+// Encode one group of CPG = 16*G/NCH chunks, each chunk c blocks walked
+// sequentially per lane (chunk heads start from the zero state; within a
+// chunk the full sequential semantics apply, previous-block trial warm-up
+// included — the parallel mode's chunk_blocks quality knob, byte-pinned
+// to ops/encode.py::encode_blocks_parallel's chunked contract). c=1 is
+// the plain block-independent mode.
 template <int BPS, int NCH, int G>
 void encode_chunk_simd(const int32_t* pcm, uint32_t num_samples, bool ms,
-                       uint32_t num_trials, uint32_t b0, const Geometry& g,
-                       uint8_t* out, std::vector<int32_t>& tm,
+                       uint32_t num_trials, uint32_t c, uint32_t chunk0,
+                       const Geometry& g, uint8_t* out,
+                       std::vector<int32_t>& tm,
                        std::vector<uint8_t>& tcodes) {
   constexpr int kLanes = 16 * G;
-  constexpr int BPC = kLanes / NCH;  // blocks per chunk
+  constexpr int CPG = kLanes / NCH;  // chunks per group call
   constexpr int cb = (BPS == 3) ? 3 : 1;
   constexpr int spu = (BPS == 4) ? 2 : (BPS == 2 ? 4 : 8);
   const uint32_t nspb = g.samples_per_block;
   const uint32_t n_units = (nspb - kFilterOrder) / spu;
 
-  // stage time-major [t][lane] with the per-block MS transform applied
-  for (int bi = 0; bi < BPC; ++bi) {
-    const int32_t* src0 = pcm + size_t(b0 + bi) * nspb;
-    if (NCH == 2) {
-      const int32_t* src1 = src0 + num_samples;
-      if (ms) {
-        for (uint32_t t = 0; t < nspb; ++t) {
-          const int32_t a = src0[t], b = src1[t];
-          tm[size_t(t) * kLanes + bi * 2] = clip16((a + b) >> 1);
-          tm[size_t(t) * kLanes + bi * 2 + 1] = clip16((a - b) >> 1);
+  // stage time-major [block][t][lane] with the MS transform applied
+  for (int ci = 0; ci < CPG; ++ci) {
+    const size_t b0 = (size_t(chunk0) + ci) * c;
+    for (uint32_t b = 0; b < c; ++b) {
+      int32_t* dst = tm.data() + size_t(b) * nspb * kLanes;
+      const int32_t* src0 = pcm + (b0 + b) * nspb;
+      if (NCH == 2) {
+        const int32_t* src1 = src0 + num_samples;
+        if (ms) {
+          for (uint32_t t = 0; t < nspb; ++t) {
+            const int32_t a = src0[t], s = src1[t];
+            dst[size_t(t) * kLanes + ci * 2] = clip16((a + s) >> 1);
+            dst[size_t(t) * kLanes + ci * 2 + 1] = clip16((a - s) >> 1);
+          }
+        } else {
+          for (uint32_t t = 0; t < nspb; ++t) {
+            dst[size_t(t) * kLanes + ci * 2] = src0[t];
+            dst[size_t(t) * kLanes + ci * 2 + 1] = src1[t];
+          }
         }
       } else {
-        for (uint32_t t = 0; t < nspb; ++t) {
-          tm[size_t(t) * kLanes + bi * 2] = src0[t];
-          tm[size_t(t) * kLanes + bi * 2 + 1] = src1[t];
-        }
+        for (uint32_t t = 0; t < nspb; ++t)
+          dst[size_t(t) * kLanes + ci] = src0[t];
       }
-    } else {
-      for (uint32_t t = 0; t < nspb; ++t)
-        tm[size_t(t) * kLanes + bi] = src0[t];
     }
   }
 
@@ -874,189 +885,239 @@ void encode_chunk_simd(const int32_t* pcm, uint32_t num_samples, bool ms,
   }
   const __m512i deltas = _mm512_load_si512(dl);
 
-  // trial search: baseline measure doubles as trial 1 (identical seed and
-  // input from the zero state — the fused kernel's pass-count trick)
-  LaneState best[G], walker[G];
-  for (int grp = 0; grp < G; ++grp) best[grp] = zero_state();
-  if (num_trials > 0) {
-    SseAcc best_sse[G];
-    for (int grp = 0; grp < G; ++grp) walker[grp] = zero_state();
-    measure16g<BPS, G>(walker, tm.data(), kLanes, nspb, steptab, deltas,
-                       best_sse);
-    for (uint32_t trial = 1; trial < num_trials; ++trial) {
-      LaneState candidate[G];
-      for (int grp = 0; grp < G; ++grp) candidate[grp] = walker[grp];
-      SseAcc sse[G];
-      measure16g<BPS, G>(walker, tm.data(), kLanes, nspb, steptab, deltas,
-                         sse);
-      for (int grp = 0; grp < G; ++grp) {
-        const __mmask16 take = sse_better16(sse[grp], best_sse[grp]);
-        blend_state(best[grp], take, candidate[grp]);
-        best_sse[grp].lo = _mm512_mask_blend_epi64(__mmask8(take),
-                                                   best_sse[grp].lo,
-                                                   sse[grp].lo);
-        best_sse[grp].hi = _mm512_mask_blend_epi64(__mmask8(take >> 8),
-                                                   best_sse[grp].hi,
-                                                   sse[grp].hi);
-      }
-    }
-  }
+  LaneState st[G];
+  for (int grp = 0; grp < G; ++grp) st[grp] = zero_state();
 
-  // header: seed, round weights, snapshot fields for the scalar writer
-  alignas(64) int32_t hh[G][kFilterOrder][16], hw[G][kFilterOrder][16];
-  alignas(64) int32_t hidx[G][16], hshift[G][16];
-  for (int grp = 0; grp < G; ++grp) {
-    LaneState& st = best[grp];
-    seed16(st, tm.data(), kLanes, grp);
-    __m512i maxabs = _mm512_setzero_si512();
-    for (int k = 0; k < kFilterOrder; ++k)
-      maxabs = _mm512_max_epi32(maxabs, _mm512_abs_epi32(st.w[k]));
-    __m512i shift = _mm512_setzero_si512();
-    const __m512i lim = _mm512_set1_epi32(32767);
-    const __m512i one = _mm512_set1_epi32(1);
-    for (int it = 0; it < 16; ++it) {
-      const __mmask16 over =
-          _mm512_cmp_epi32_mask(maxabs, lim, _MM_CMPINT_NLE);
-      maxabs = _mm512_mask_srai_epi32(maxabs, over, maxabs, 1);
-      shift = _mm512_mask_add_epi32(shift, over, shift, one);
-    }
-    const __m512i low = _mm512_sub_epi32(_mm512_sllv_epi32(one, shift), one);
-    const __m512i wmask = _mm512_andnot_si512(low, _mm512_set1_epi32(-1));
-    for (int k = 0; k < kFilterOrder; ++k) {
-      st.w[k] = _mm512_and_si512(st.w[k], wmask);
-      _mm512_store_si512(hh[grp][k], st.h[k]);
-      _mm512_store_si512(hw[grp][k], st.w[k]);
-    }
-    _mm512_store_si512(hidx[grp], st.idx);
-    _mm512_store_si512(hshift[grp], shift);
-  }
+  for (uint32_t b = 0; b < c; ++b) {
+    const int32_t* tmb = tm.data() + size_t(b) * nspb * kLanes;
 
-  // emit pass: codes into unit-major [unit][byte-in-unit][lane] planes;
-  // sample steps interleave across groups (independent chains, as in the
-  // measure pass) before each group's codes pack
-  for (uint32_t u = 0; u < n_units; ++u) {
-    __m512i codes[G][spu];
-    for (int k = 0; k < spu; ++k)
+    if (num_trials > 0 && b == 0) {
+      // chunk head: the baseline measure doubles as trial 1 (identical
+      // seed and input from the fresh state — the fused kernel's
+      // pass-count trick; valid only without a previous-block warm-up)
+      LaneState best[G], walker[G];
+      SseAcc best_sse[G];
       for (int grp = 0; grp < G; ++grp) {
-        const uint32_t t = kFilterOrder + u * spu + k;
-        const __m512i x =
-            _mm512_loadu_si512(tm.data() + size_t(t) * kLanes + grp * 16);
-        __m512i q;
-        enc_step16<BPS>(best[grp], x, steptab, deltas, &codes[grp][k], &q);
+        best[grp] = st[grp];
+        walker[grp] = st[grp];
       }
+      measure16g<BPS, G>(walker, tmb, kLanes, nspb, steptab, deltas,
+                         best_sse);
+      for (uint32_t trial = 1; trial < num_trials; ++trial) {
+        LaneState candidate[G];
+        for (int grp = 0; grp < G; ++grp) candidate[grp] = walker[grp];
+        SseAcc sse[G];
+        measure16g<BPS, G>(walker, tmb, kLanes, nspb, steptab, deltas, sse);
+        for (int grp = 0; grp < G; ++grp) {
+          const __mmask16 take = sse_better16(sse[grp], best_sse[grp]);
+          blend_state(best[grp], take, candidate[grp]);
+          best_sse[grp].lo = _mm512_mask_blend_epi64(__mmask8(take),
+                                                     best_sse[grp].lo,
+                                                     sse[grp].lo);
+          best_sse[grp].hi = _mm512_mask_blend_epi64(__mmask8(take >> 8),
+                                                     best_sse[grp].hi,
+                                                     sse[grp].hi);
+        }
+      }
+      for (int grp = 0; grp < G; ++grp) st[grp] = best[grp];
+    } else if (num_trials > 0) {
+      // chained block: full sequential trial structure — baseline probe
+      // from the chain state, then trials x (prev warm-up + cur measure)
+      const int32_t* tmp = tmb - size_t(nspb) * kLanes;  // previous block
+      LaneState best[G], walker[G], probe[G];
+      SseAcc best_sse[G];
+      for (int grp = 0; grp < G; ++grp) {
+        best[grp] = st[grp];
+        walker[grp] = st[grp];
+        probe[grp] = st[grp];
+      }
+      measure16g<BPS, G>(probe, tmb, kLanes, nspb, steptab, deltas,
+                         best_sse);
+      for (uint32_t trial = 0; trial < num_trials; ++trial) {
+        SseAcc discard[G];
+        measure16g<BPS, G>(walker, tmp, kLanes, nspb, steptab, deltas,
+                           discard);
+        LaneState candidate[G];
+        for (int grp = 0; grp < G; ++grp) candidate[grp] = walker[grp];
+        SseAcc sse[G];
+        measure16g<BPS, G>(walker, tmb, kLanes, nspb, steptab, deltas, sse);
+        for (int grp = 0; grp < G; ++grp) {
+          const __mmask16 take = sse_better16(sse[grp], best_sse[grp]);
+          blend_state(best[grp], take, candidate[grp]);
+          best_sse[grp].lo = _mm512_mask_blend_epi64(__mmask8(take),
+                                                     best_sse[grp].lo,
+                                                     sse[grp].lo);
+          best_sse[grp].hi = _mm512_mask_blend_epi64(__mmask8(take >> 8),
+                                                     best_sse[grp].hi,
+                                                     sse[grp].hi);
+        }
+      }
+      for (int grp = 0; grp < G; ++grp) st[grp] = best[grp];
+    }
+
+    // header: seed, round weights, snapshot fields for the scalar writer
+    alignas(64) int32_t hh[G][kFilterOrder][16], hw[G][kFilterOrder][16];
+    alignas(64) int32_t hidx[G][16], hshift[G][16];
     for (int grp = 0; grp < G; ++grp) {
-      const __m512i* code = codes[grp];
-      uint8_t* tc = tcodes.data() + (size_t(u) * cb) * kLanes + grp * 16;
-      if (BPS == 4) {
-        const __m512i b =
-            _mm512_or_si512(_mm512_slli_epi32(code[0], 4), code[1]);
-        _mm_storeu_si128(reinterpret_cast<__m128i*>(tc),
-                         _mm512_cvtepi32_epi8(b));
-      } else if (BPS == 2) {
-        __m512i b = _mm512_slli_epi32(code[0], 6);
-        b = _mm512_or_si512(b, _mm512_slli_epi32(code[1], 4));
-        b = _mm512_or_si512(b, _mm512_slli_epi32(code[2], 2));
-        b = _mm512_or_si512(b, code[3]);
-        _mm_storeu_si128(reinterpret_cast<__m128i*>(tc),
-                         _mm512_cvtepi32_epi8(b));
-      } else {
-        __m512i w24 = _mm512_setzero_si512();
-        for (int k = 0; k < 8; ++k)
-          w24 = _mm512_or_si512(w24, _mm512_slli_epi32(code[k], 21 - 3 * k));
-        _mm_storeu_si128(reinterpret_cast<__m128i*>(tc),
-                         _mm512_cvtepi32_epi8(_mm512_srli_epi32(w24, 16)));
-        _mm_storeu_si128(reinterpret_cast<__m128i*>(tc + kLanes),
-                         _mm512_cvtepi32_epi8(_mm512_srli_epi32(w24, 8)));
-        _mm_storeu_si128(reinterpret_cast<__m128i*>(tc + 2 * kLanes),
-                         _mm512_cvtepi32_epi8(w24));
+      LaneState& s = st[grp];
+      seed16(s, tmb, kLanes, grp);
+      __m512i maxabs = _mm512_setzero_si512();
+      for (int k = 0; k < kFilterOrder; ++k)
+        maxabs = _mm512_max_epi32(maxabs, _mm512_abs_epi32(s.w[k]));
+      __m512i shift = _mm512_setzero_si512();
+      const __m512i lim = _mm512_set1_epi32(32767);
+      const __m512i one = _mm512_set1_epi32(1);
+      for (int it = 0; it < 16; ++it) {
+        const __mmask16 over =
+            _mm512_cmp_epi32_mask(maxabs, lim, _MM_CMPINT_NLE);
+        maxabs = _mm512_mask_srai_epi32(maxabs, over, maxabs, 1);
+        shift = _mm512_mask_add_epi32(shift, over, shift, one);
       }
-    }
-  }
-
-  // scalar assembly: per-block header + channel-interleaved units
-  for (int bi = 0; bi < BPC; ++bi) {
-    uint8_t* p = out + kHeaderSize + size_t(b0 + bi) * g.block_size;
-    for (int ch = 0; ch < NCH; ++ch) {
-      const int l = bi * NCH + ch;
-      const int grp = l / 16, ll = l % 16;
-      wr_u16(p, uint32_t(hidx[grp][ll] << kQ4) | uint32_t(hshift[grp][ll]));
-      p += 2;
+      const __m512i low =
+          _mm512_sub_epi32(_mm512_sllv_epi32(one, shift), one);
+      const __m512i wmask = _mm512_andnot_si512(low, _mm512_set1_epi32(-1));
       for (int k = 0; k < kFilterOrder; ++k) {
-        wr_u16(p, uint16_t(hw[grp][k][ll] >> hshift[grp][ll]));
-        p += 2;
-        wr_u16(p, uint16_t(hh[grp][k][ll]));
-        p += 2;
+        s.w[k] = _mm512_and_si512(s.w[k], wmask);
+        _mm512_store_si512(hh[grp][k], s.h[k]);
+        _mm512_store_si512(hw[grp][k], s.w[k]);
+      }
+      _mm512_store_si512(hidx[grp], s.idx);
+      _mm512_store_si512(hshift[grp], shift);
+    }
+
+    // emit pass: codes into unit-major [unit][byte-in-unit][lane] planes;
+    // sample steps interleave across groups (independent chains, as in
+    // the measure pass) before each group's codes pack
+    for (uint32_t u = 0; u < n_units; ++u) {
+      __m512i codes[G][spu];
+      for (int k = 0; k < spu; ++k)
+        for (int grp = 0; grp < G; ++grp) {
+          const uint32_t t = kFilterOrder + u * spu + k;
+          const __m512i x =
+              _mm512_loadu_si512(tmb + size_t(t) * kLanes + grp * 16);
+          __m512i q;
+          enc_step16<BPS>(st[grp], x, steptab, deltas, &codes[grp][k], &q);
+        }
+      for (int grp = 0; grp < G; ++grp) {
+        const __m512i* code = codes[grp];
+        uint8_t* tc = tcodes.data() + (size_t(u) * cb) * kLanes + grp * 16;
+        if (BPS == 4) {
+          const __m512i by =
+              _mm512_or_si512(_mm512_slli_epi32(code[0], 4), code[1]);
+          _mm_storeu_si128(reinterpret_cast<__m128i*>(tc),
+                           _mm512_cvtepi32_epi8(by));
+        } else if (BPS == 2) {
+          __m512i by = _mm512_slli_epi32(code[0], 6);
+          by = _mm512_or_si512(by, _mm512_slli_epi32(code[1], 4));
+          by = _mm512_or_si512(by, _mm512_slli_epi32(code[2], 2));
+          by = _mm512_or_si512(by, code[3]);
+          _mm_storeu_si128(reinterpret_cast<__m128i*>(tc),
+                           _mm512_cvtepi32_epi8(by));
+        } else {
+          __m512i w24 = _mm512_setzero_si512();
+          for (int k = 0; k < 8; ++k)
+            w24 =
+                _mm512_or_si512(w24, _mm512_slli_epi32(code[k], 21 - 3 * k));
+          _mm_storeu_si128(reinterpret_cast<__m128i*>(tc),
+                           _mm512_cvtepi32_epi8(_mm512_srli_epi32(w24, 16)));
+          _mm_storeu_si128(reinterpret_cast<__m128i*>(tc + kLanes),
+                           _mm512_cvtepi32_epi8(_mm512_srli_epi32(w24, 8)));
+          _mm_storeu_si128(reinterpret_cast<__m128i*>(tc + 2 * kLanes),
+                           _mm512_cvtepi32_epi8(w24));
+        }
       }
     }
-    for (uint32_t u = 0; u < n_units; ++u) {
-      const uint8_t* tc = tcodes.data() + size_t(u) * cb * kLanes;
-      for (int ch = 0; ch < NCH; ++ch)
-        for (int j = 0; j < cb; ++j) *p++ = tc[size_t(j) * kLanes + bi * NCH + ch];
+
+    // scalar assembly: per-block header + channel-interleaved units
+    for (int ci = 0; ci < CPG; ++ci) {
+      const size_t blk = (size_t(chunk0) + ci) * c + b;
+      uint8_t* p = out + kHeaderSize + blk * g.block_size;
+      for (int ch = 0; ch < NCH; ++ch) {
+        const int l = ci * NCH + ch;
+        const int grp = l / 16, ll = l % 16;
+        wr_u16(p, uint32_t(hidx[grp][ll] << kQ4) | uint32_t(hshift[grp][ll]));
+        p += 2;
+        for (int k = 0; k < kFilterOrder; ++k) {
+          wr_u16(p, uint16_t(hw[grp][k][ll] >> hshift[grp][ll]));
+          p += 2;
+          wr_u16(p, uint16_t(hh[grp][k][ll]));
+          p += 2;
+        }
+      }
+      for (uint32_t u = 0; u < n_units; ++u) {
+        const uint8_t* tc = tcodes.data() + size_t(u) * cb * kLanes;
+        for (int ch = 0; ch < NCH; ++ch)
+          for (int j = 0; j < cb; ++j)
+            *p++ = tc[size_t(j) * kLanes + ci * NCH + ch];
+      }
     }
   }
 }
 
 template <int BPS, int NCH>
 uint32_t encode_blocks_simd(const int32_t* pcm, uint32_t num_samples, bool ms,
-                            uint32_t num_trials, uint32_t nblocks,
+                            uint32_t num_trials, uint32_t nchunks, uint32_t c,
                             const Geometry& g, uint8_t* out) {
   constexpr int cb = (BPS == 3) ? 3 : 1;
-  constexpr uint32_t BPG = 16 / NCH;
+  constexpr uint32_t CPG = 16 / NCH;  // chunks per 16-lane group
   const uint32_t nspb = g.samples_per_block;
-  std::vector<int32_t> tm(size_t(nspb) * 32);
+  std::vector<int32_t> tm(size_t(nspb) * c * 32);
   std::vector<uint8_t> tcodes(
       (size_t(nspb - kFilterOrder) / ((BPS == 4) ? 2 : (BPS == 2 ? 4 : 8))) *
       cb * 32);
-  uint32_t b = 0;
-  while (b + 2 * BPG <= nblocks) {
-    encode_chunk_simd<BPS, NCH, 2>(pcm, num_samples, ms, num_trials, b, g,
-                                   out, tm, tcodes);
-    b += 2 * BPG;
+  uint32_t ch = 0;
+  while (ch + 2 * CPG <= nchunks) {
+    encode_chunk_simd<BPS, NCH, 2>(pcm, num_samples, ms, num_trials, c, ch,
+                                   g, out, tm, tcodes);
+    ch += 2 * CPG;
   }
-  if (b + BPG <= nblocks) {
-    encode_chunk_simd<BPS, NCH, 1>(pcm, num_samples, ms, num_trials, b, g,
-                                   out, tm, tcodes);
-    b += BPG;
+  if (ch + CPG <= nchunks) {
+    encode_chunk_simd<BPS, NCH, 1>(pcm, num_samples, ms, num_trials, c, ch,
+                                   g, out, tm, tcodes);
+    ch += CPG;
   }
-  return b;
+  return ch * c;  // blocks encoded
 }
 
 #pragma GCC pop_options
 
-// Dispatch for the block-independent encode: vectorise the leading blocks
-// whose samples AND wire bytes are both full.
+// Dispatch for the block-independent/chunked parallel encode: vectorise the
+// leading whole chunks whose samples AND wire bytes are both full.
 uint32_t run_simd_encode_parallel(const int32_t* pcm, const AadxInfo& h,
                                   const Geometry& g, uint32_t num_trials,
-                                  uint8_t* out, size_t capacity) {
+                                  uint32_t chunk_blocks, uint8_t* out,
+                                  size_t capacity) {
   static const bool ok = __builtin_cpu_supports("avx512f");
   if (!ok) return 0;
   const uint32_t nspb = g.samples_per_block;
+  const uint32_t c = chunk_blocks;
   uint32_t nb = h.num_samples / nspb;  // blocks with every sample present
-  const uint32_t bpg = 16 / h.num_channels;
-  nb = (nb / bpg) * bpg;
-  while (nb && kHeaderSize + size_t(nb) * g.block_size > capacity)
-    nb -= bpg;
-  if (!nb) return 0;
+  const uint32_t cpg = 16 / h.num_channels;
+  uint32_t nchunks = ((nb / c) / cpg) * cpg;  // whole chunks, group-aligned
+  while (nchunks &&
+         kHeaderSize + size_t(nchunks) * c * g.block_size > capacity)
+    nchunks -= cpg;
+  if (!nchunks) return 0;
   const bool ms = h.ch_process_method == 1;
   switch (h.bits_per_sample * 10 + h.num_channels) {
     case 41:
-      return encode_blocks_simd<4, 1>(pcm, h.num_samples, ms, num_trials, nb,
-                                      g, out);
+      return encode_blocks_simd<4, 1>(pcm, h.num_samples, ms, num_trials,
+                                      nchunks, c, g, out);
     case 42:
-      return encode_blocks_simd<4, 2>(pcm, h.num_samples, ms, num_trials, nb,
-                                      g, out);
+      return encode_blocks_simd<4, 2>(pcm, h.num_samples, ms, num_trials,
+                                      nchunks, c, g, out);
     case 31:
-      return encode_blocks_simd<3, 1>(pcm, h.num_samples, ms, num_trials, nb,
-                                      g, out);
+      return encode_blocks_simd<3, 1>(pcm, h.num_samples, ms, num_trials,
+                                      nchunks, c, g, out);
     case 32:
-      return encode_blocks_simd<3, 2>(pcm, h.num_samples, ms, num_trials, nb,
-                                      g, out);
+      return encode_blocks_simd<3, 2>(pcm, h.num_samples, ms, num_trials,
+                                      nchunks, c, g, out);
     case 21:
-      return encode_blocks_simd<2, 1>(pcm, h.num_samples, ms, num_trials, nb,
-                                      g, out);
+      return encode_blocks_simd<2, 1>(pcm, h.num_samples, ms, num_trials,
+                                      nchunks, c, g, out);
     case 22:
-      return encode_blocks_simd<2, 2>(pcm, h.num_samples, ms, num_trials, nb,
-                                      g, out);
+      return encode_blocks_simd<2, 2>(pcm, h.num_samples, ms, num_trials,
+                                      nchunks, c, g, out);
     default:
       return 0;
   }
@@ -1072,7 +1133,7 @@ uint32_t run_simd_encode_parallel(const int32_t* pcm, const AadxInfo& h,
 
 extern "C" {
 
-uint32_t aadx_abi_version(void) { return 1; }
+uint32_t aadx_abi_version(void) { return 2; }
 
 int aadx_block_geometry(uint32_t max_block_size, uint32_t num_channels,
                         uint32_t bits_per_sample, uint32_t* block_size,
@@ -1222,7 +1283,7 @@ static int encode_impl(const int32_t* pcm, uint32_t num_channels,
                        uint32_t bits_per_sample, uint32_t max_block_size,
                        uint32_t ch_process_method, uint32_t num_encode_trials,
                        uint8_t* out, size_t capacity, size_t* out_size,
-                       bool independent_blocks,
+                       bool independent_blocks, uint32_t chunk_blocks = 1,
                        int32_t* state_io = nullptr, int32_t* prev_io = nullptr,
                        uint32_t blocks_before = 0) {
   // Chunk (streaming) mode when state_io != nullptr: no file header is
@@ -1234,6 +1295,8 @@ static int encode_impl(const int32_t* pcm, uint32_t num_channels,
   const bool chunk_mode = state_io != nullptr;
   if (!pcm || !out || !out_size) return AADX_INVALID_ARGUMENT;
   if (chunk_mode && (independent_blocks || !prev_io))
+    return AADX_INVALID_ARGUMENT;
+  if (chunk_blocks == 0 || (!independent_blocks && chunk_blocks != 1))
     return AADX_INVALID_ARGUMENT;
 
   Geometry g;
@@ -1295,15 +1358,17 @@ static int encode_impl(const int32_t* pcm, uint32_t num_channels,
   uint32_t done0 = 0;
 #if AADX_HAVE_SIMD
   if (independent_blocks) {
-    const uint32_t nbv =
-        run_simd_encode_parallel(pcm, h, g, num_encode_trials, out, capacity);
-    done0 = nbv * nspb;
-    p += size_t(nbv) * g.block_size;
+    const uint32_t nbv = run_simd_encode_parallel(
+        pcm, h, g, num_encode_trials, chunk_blocks, out, capacity);
+    done0 = nbv * nspb;  // nbv is chunk-aligned, so the scalar loop
+    p += size_t(nbv) * g.block_size;  // resumes at a chunk head
   }
 #endif
   for (uint32_t done = done0; done < num_samples; done += nspb) {
     const uint32_t n = std::min(nspb, num_samples - done);
-    if (independent_blocks)
+    const bool chunk_head =
+        independent_blocks && ((done / nspb) % chunk_blocks == 0);
+    if (chunk_head)
       for (uint32_t ch = 0; ch < num_channels; ++ch) state[ch] = Lms{};
 
     // current block, zero-padded, channel-transformed
@@ -1316,10 +1381,14 @@ static int encode_impl(const int32_t* pcm, uint32_t num_channels,
 
     if (num_encode_trials > 0) {
       // prev holds the previous block in the transformed domain: carried
-      // in (chunk mode) for the first block, swapped from cur thereafter.
+      // in (streaming chunk mode) for the first block, swapped from cur
+      // thereafter. In chunked-parallel mode every non-head block of a
+      // chunk warms on its predecessor, exactly as the sequential encoder
+      // would within that chunk.
       const bool has_prev =
-          !independent_blocks &&
-          (done > done0 || (chunk_mode && blocks_before > 0));
+          independent_blocks
+              ? !chunk_head && done > done0
+              : (done > done0 || (chunk_mode && blocks_before > 0));
       if (num_channels == 2) {
         // stereo: both channels' chains step together (see measure2)
         Lms best[2] = {state[0], state[1]};
@@ -1436,10 +1505,10 @@ static int encode_impl(const int32_t* pcm, uint32_t num_channels,
     }
 
     // this block becomes the next one's warm-up context (content identical
-    // to the re-copy + re-transform it replaces, one transform cheaper)
-    if (!independent_blocks)
-      for (uint32_t ch = 0; ch < num_channels; ++ch)
-        std::swap(cur[ch], prev[ch]);
+    // to the re-copy + re-transform it replaces, one transform cheaper);
+    // chunked-parallel non-head blocks consume it too
+    for (uint32_t ch = 0; ch < num_channels; ++ch)
+      std::swap(cur[ch], prev[ch]);
   }
 
   if (chunk_mode) {
@@ -1472,11 +1541,12 @@ int aadx_encode_parallel(const int32_t* pcm, uint32_t num_channels,
                          uint32_t num_samples, uint32_t sampling_rate,
                          uint32_t bits_per_sample, uint32_t max_block_size,
                          uint32_t ch_process_method,
-                         uint32_t num_encode_trials, uint8_t* out,
-                         size_t capacity, size_t* out_size) {
+                         uint32_t num_encode_trials, uint32_t chunk_blocks,
+                         uint8_t* out, size_t capacity, size_t* out_size) {
   return encode_impl(pcm, num_channels, num_samples, sampling_rate,
                      bits_per_sample, max_block_size, ch_process_method,
-                     num_encode_trials, out, capacity, out_size, true);
+                     num_encode_trials, out, capacity, out_size, true,
+                     chunk_blocks);
 }
 
 int aadx_encode_chunk(const int32_t* pcm, uint32_t num_channels,
@@ -1489,7 +1559,7 @@ int aadx_encode_chunk(const int32_t* pcm, uint32_t num_channels,
   if (!state_io || !prev_io) return AADX_INVALID_ARGUMENT;
   return encode_impl(pcm, num_channels, num_samples, sampling_rate,
                      bits_per_sample, max_block_size, ch_process_method,
-                     num_encode_trials, out, capacity, out_size, false,
+                     num_encode_trials, out, capacity, out_size, false, 1,
                      state_io, prev_io, blocks_before);
 }
 

@@ -53,16 +53,18 @@ int aadx_encode(const int32_t* pcm, uint32_t num_channels,
                 uint32_t ch_process_method, uint32_t num_encode_trials,
                 uint8_t* out, size_t capacity, size_t* out_size);
 
-/* Encode a whole stream in block-independent (parallel) mode: every block
- * restarts from the default predictor state, so the output equals the
- * concatenation of single-block encodes — the byte contract of the JAX
- * engines' parallel_blocks=True mode. */
+/* Encode a whole stream in block-independent (parallel) mode: chunks of
+ * chunk_blocks blocks each restart from the default predictor state and
+ * encode sequentially within (full trial warm-up included), so the output
+ * equals the concatenation of per-chunk sequential encodes — the byte
+ * contract of the JAX engines' parallel_blocks=True mode with
+ * parallel_chunk_blocks. chunk_blocks=1 is the plain per-block mode. */
 int aadx_encode_parallel(const int32_t* pcm, uint32_t num_channels,
                          uint32_t num_samples, uint32_t sampling_rate,
                          uint32_t bits_per_sample, uint32_t max_block_size,
                          uint32_t ch_process_method,
-                         uint32_t num_encode_trials, uint8_t* out,
-                         size_t capacity, size_t* out_size);
+                         uint32_t num_encode_trials, uint32_t chunk_blocks,
+                         uint8_t* out, size_t capacity, size_t* out_size);
 
 /* Streaming-chunk encode: encode num_samples (whole blocks, or a final
  * short tail) continuing a sequential chain. No file header is written.

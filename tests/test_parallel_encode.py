@@ -307,6 +307,65 @@ class TestNativeParallel:
         b = encode(pcm, cfg, engine="scan", parallel_blocks=True)
         assert a == b
 
+    @pytest.mark.parametrize("nch,bps,ms,trials", GRID)
+    @pytest.mark.parametrize("c", [2, 5, 64])
+    def test_native_chunked_matches_scan(self, nch, bps, ms, trials, c):
+        """The chunked quality knob (parallel_chunk_blocks=c) through the
+        native SIMD lanes: chunks walk their c blocks sequentially per
+        lane, byte-identical to the JAX chunked mode."""
+        from aad_tpu import native
+
+        if not native.available():
+            pytest.skip("native codec unavailable")
+        cfg = _cfg(nch, bps, ms, trials)
+        nspb = cfg.geometry().num_samples_per_block
+        # >= 1 full SIMD chunk-group at c=2/5 plus scalar chunks + tail
+        n = nspb * (c * (32 // nch) + 2 * c + 1) + 7
+        pcm = _signal(nch, n, seed=7 * bps + nch + c)
+        a = native.encode_parallel(pcm, cfg, chunk_blocks=c)
+        b = encode(pcm, cfg, engine="scan", parallel_blocks=True,
+                   parallel_chunk_blocks=c)
+        assert a == b
+
+    def test_native_chunked_degenerates_to_sequential(self):
+        from aad_tpu import native
+
+        if not native.available():
+            pytest.skip("native codec unavailable")
+        cfg = _cfg(2, 4, 1, 2)
+        nspb = cfg.geometry().num_samples_per_block
+        pcm = _signal(2, nspb * 9 + 13, seed=5)
+        assert native.encode_parallel(pcm, cfg, chunk_blocks=10**6) == \
+            native.encode(pcm, cfg)
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_native_chunked_random_geometry(self, seed):
+        """Random geometry x random chunk size through the chunked SIMD
+        walk, vs the scan chunked mode."""
+        from aad_tpu import native
+        from aad_tpu.codec.encoder import EncodeConfig
+
+        if not native.available():
+            pytest.skip("native codec unavailable")
+        rng = np.random.default_rng(4000 + seed)
+        nch = int(rng.integers(1, 3))
+        bps = int(rng.integers(2, 5))
+        mbs = int(rng.integers(40 * nch, 500))
+        c = int(rng.integers(2, 9))
+        cfg = EncodeConfig(
+            num_channels=nch, sampling_rate=8000, bits_per_sample=bps,
+            max_block_size=mbs,
+            ch_process_method=int(rng.integers(0, 2)) if nch == 2 else 0,
+            num_encode_trials=int(rng.integers(0, 3)),
+        )
+        nspb = cfg.geometry().num_samples_per_block
+        n = int(rng.integers(1, nspb * (c * (32 // nch) + c + 2)))
+        pcm = rng.integers(-32768, 32768, (nch, n)).astype(np.int32)
+        a = native.encode_parallel(pcm, cfg, chunk_blocks=c)
+        b = encode(pcm, cfg, engine="scan", parallel_blocks=True,
+                   parallel_chunk_blocks=c)
+        assert a == b, f"{cfg} c={c} n={n}"
+
     @pytest.mark.parametrize("seed", range(4))
     def test_native_parallel_random_geometry(self, seed):
         """Random (odd) block geometries through the SIMD dispatcher: the
@@ -357,7 +416,14 @@ class TestNativeParallel:
         assert encode(pcm, cfg, engine="native", parallel_blocks=True) == want
         # auto routes plain parallel mode natively off-accelerator
         assert encode(pcm, cfg, engine="auto", parallel_blocks=True) == want
-        # the chunked/warm quality knobs stay JAX-only
+        # the chunked knob rides the native lanes too
+        want_c = encode(pcm, cfg, engine="scan", parallel_blocks=True,
+                        parallel_chunk_blocks=3)
+        assert encode(pcm, cfg, engine="native", parallel_blocks=True,
+                      parallel_chunk_blocks=3) == want_c
+        assert encode(pcm, cfg, engine="auto", parallel_blocks=True,
+                      parallel_chunk_blocks=3) == want_c
+        # the Jacobi warm quality knob stays JAX-only
         with pytest.raises(InvalidArgumentError):
             encode(pcm, cfg, engine="native", parallel_blocks=True,
-                   parallel_chunk_blocks=2)
+                   parallel_warm_passes=1)
