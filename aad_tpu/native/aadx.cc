@@ -771,7 +771,10 @@ struct SseAcc {
 // group's gather/ALU latency hides behind the other's dependent chain —
 // the decode loop's latency-hiding structure (enc_step16 is a serial
 // chain per lane set; G independent chains keep the ports busy).
-template <int BPS, int G>
+// ACC=false is the warm-up-only variant (chained chunk blocks discard the
+// previous block's SSE): the squared-error side chain drops out entirely,
+// leaving just the state walk.
+template <int BPS, int G, bool ACC = true>
 void measure16g(LaneState* s, const int32_t* tm, int lanes_total,
                 uint32_t nspb, const int32_t* steptab, __m512i deltas,
                 SseAcc* sse) {
@@ -787,17 +790,21 @@ void measure16g(LaneState* s, const int32_t* tm, int lanes_total,
           _mm512_loadu_si512(tm + size_t(t) * lanes_total + g * 16);
       __m512i code, q;
       enc_step16<BPS>(s[g], x, steptab, deltas, &code, &q);
-      const __m512i sq = _mm512_mullo_epi32(q, q);  // wrapped int32 product
-      acc_lo[g] = _mm512_add_epi64(
-          acc_lo[g], _mm512_cvtepi32_epi64(_mm512_castsi512_si256(sq)));
-      acc_hi[g] = _mm512_add_epi64(
-          acc_hi[g], _mm512_cvtepi32_epi64(_mm512_extracti64x4_epi64(sq, 1)));
+      if (ACC) {
+        const __m512i sq = _mm512_mullo_epi32(q, q);  // wrapped i32 product
+        acc_lo[g] = _mm512_add_epi64(
+            acc_lo[g], _mm512_cvtepi32_epi64(_mm512_castsi512_si256(sq)));
+        acc_hi[g] = _mm512_add_epi64(
+            acc_hi[g],
+            _mm512_cvtepi32_epi64(_mm512_extracti64x4_epi64(sq, 1)));
+      }
     }
   }
-  for (int g = 0; g < G; ++g) {
-    sse[g].lo = acc_lo[g];
-    sse[g].hi = acc_hi[g];
-  }
+  if (ACC)
+    for (int g = 0; g < G; ++g) {
+      sse[g].lo = acc_lo[g];
+      sse[g].hi = acc_hi[g];
+    }
 }
 
 // The reference's min_rmse > tmp_rmse adoption rule on wrapped sums (both
@@ -934,9 +941,8 @@ void encode_chunk_simd(const int32_t* pcm, uint32_t num_samples, bool ms,
       measure16g<BPS, G>(probe, tmb, kLanes, nspb, steptab, deltas,
                          best_sse);
       for (uint32_t trial = 0; trial < num_trials; ++trial) {
-        SseAcc discard[G];
-        measure16g<BPS, G>(walker, tmp, kLanes, nspb, steptab, deltas,
-                           discard);
+        measure16g<BPS, G, false>(walker, tmp, kLanes, nspb, steptab,
+                                  deltas, nullptr);
         LaneState candidate[G];
         for (int grp = 0; grp < G; ++grp) candidate[grp] = walker[grp];
         SseAcc sse[G];
