@@ -19,7 +19,7 @@ from aad_tpu.format.wav import read_wav
         ("sin300Hz.aad", "sin300Hz_decoded.wav"),
     ],
 )
-@pytest.mark.parametrize("engine", ["scan", "pallas"])
+@pytest.mark.parametrize("engine", ["scan", "pallas", "fused"])
 def test_golden_decode_bit_exact(fixture_dir, aad_name, wav_name, engine):
     data = (fixture_dir / aad_name).read_bytes()
     header, pcm = decode(data, engine=engine)
