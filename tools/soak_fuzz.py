@@ -1,0 +1,97 @@
+"""Extended differential soak: native engine vs the reference binary.
+
+Random geometries (odd block sizes, mono/stereo, LR/MS, trials 0-2), both
+directions, N seeds (default 400, ~6 min). Scales up the suite's
+tests/test_native.py::TestGeometryFuzz (6 seeds per run) for pre-release
+confidence sweeps; uses the fast native engine only — the JAX engines are
+pinned byte-exact to native across the suite's engine grids.
+
+Usage: python tools/soak_fuzz.py [num_seeds]
+
+Exit 0 iff every seed's encode bytes and decoded samples match the
+reference binary (reference: src/aad_encoder.c:85-131 interleave geometry,
+src/aad_encoder.c:470-562 trial search, src/aad_decoder.c:394-455 block
+data walk). Seed space (50_000+) is disjoint from the suite's (1000+).
+"""
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+sys.path.insert(0, str(_REPO / "tests"))
+os.environ.setdefault("AAD_TPU_PLATFORM", "cpu")
+
+import numpy as np
+from util import reference_decode, reference_encode, write_pcm16_wav
+
+from aad_tpu import native
+from aad_tpu.codec.encoder import EncodeConfig
+from aad_tpu.format.wav import read_wav
+
+REFERENCE_DIR = Path("/root/reference")
+
+
+def main(n_seeds: int = 400) -> int:
+    if not REFERENCE_DIR.is_dir() or shutil.which("gcc") is None:
+        print("reference sources or gcc unavailable; nothing to soak against")
+        return 2
+    build = Path(tempfile.mkdtemp(prefix="refsoak"))
+    shutil.copytree(REFERENCE_DIR / "src", build / "src")
+    shutil.copy(REFERENCE_DIR / "Makefile", build / "Makefile")
+    subprocess.run(["make", "-s"], cwd=build, check=True, timeout=120)
+    binary = build / "aad"
+    work = build / "work"
+    work.mkdir()
+
+    bad = 0
+    for seed in range(n_seeds):
+        rng = np.random.default_rng(50_000 + seed)
+        nch = int(rng.integers(1, 3))
+        bps = int(rng.integers(2, 5))
+        mbs = int(rng.integers(40 * nch, 1200))
+        ms = int(rng.integers(0, 2)) if nch == 2 else 0
+        trials = int(rng.integers(0, 3))
+        cfg = EncodeConfig(
+            num_channels=nch, sampling_rate=8000, bits_per_sample=bps,
+            max_block_size=mbs, ch_process_method=ms,
+            num_encode_trials=trials,
+        )
+        nspb = cfg.geometry().num_samples_per_block
+        n = int(rng.integers(1, 5 * nspb + 2))
+        # mix full-scale noise (the wrapped-square accumulator regime —
+        # docs/DESIGN.md §3 exact-RMSE selection) with quieter signals
+        scale = [32768, 32768, 8192, 512][seed % 4]
+        pcm = rng.integers(-scale, scale, (nch, n)).astype(np.int32)
+
+        ours = native.encode(pcm, cfg)
+        wav = work / f"s{seed}.wav"
+        write_pcm16_wav(wav, pcm, 8000)
+        ref = reference_encode(binary, wav, work / f"s{seed}.aad", bps=bps,
+                               block=mbs, trials=trials, ms=ms == 1)
+        if ours != ref:
+            bad += 1
+            print(f"ENCODE DIVERGENCE seed={seed} cfg={cfg}")
+            continue
+        _, dec = native.decode(ours)
+        ref_wav = reference_decode(binary, work / f"s{seed}.aad",
+                                   work / f"s{seed}_dec.wav")
+        _, ref_pcm = read_wav(str(ref_wav))
+        if not np.array_equal(np.asarray(dec), ref_pcm >> 16):
+            bad += 1
+            print(f"DECODE DIVERGENCE seed={seed} cfg={cfg}")
+        for f in work.iterdir():
+            f.unlink()
+        if (seed + 1) % 50 == 0:
+            print(f"{seed + 1}/{n_seeds} ok so far (divergences: {bad})",
+                  flush=True)
+
+    print(f"soak done: {n_seeds} seeds, {bad} divergences")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 400))
