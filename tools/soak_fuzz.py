@@ -83,6 +83,22 @@ def main(n_seeds: int = 400) -> int:
         if not np.array_equal(np.asarray(dec), ref_pcm >> 16):
             bad += 1
             print(f"DECODE DIVERGENCE seed={seed} cfg={cfg}")
+            continue
+
+        # block-parallel conformance: the framework's own mode must emit a
+        # stream the REFERENCE decoder accepts and that our decoder reads
+        # identically (the "every block a stream head" validity claim,
+        # reference: src/aad_decoder.c:363-380 per-block state load)
+        cb = int(rng.integers(1, 4))
+        par = native.encode_parallel(pcm, cfg, chunk_blocks=cb)
+        (work / f"p{seed}.aad").write_bytes(par)
+        ref_pwav = reference_decode(binary, work / f"p{seed}.aad",
+                                    work / f"p{seed}_dec.wav")
+        _, ref_ppcm = read_wav(str(ref_pwav))
+        _, pdec = native.decode(par)
+        if not np.array_equal(np.asarray(pdec), ref_ppcm >> 16):
+            bad += 1
+            print(f"PARALLEL-STREAM DIVERGENCE seed={seed} c={cb} cfg={cfg}")
         for f in work.iterdir():
             f.unlink()
         if (seed + 1) % 50 == 0:
