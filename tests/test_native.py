@@ -258,6 +258,48 @@ class TestGeometryFuzz:
         _, ref_pcm = read_wav(str(ref_wav))
         np.testing.assert_array_equal(np.asarray(dj), ref_pcm >> 16)
 
+    @pytest.mark.parametrize("seed", range(3))
+    def test_parallel_stream_decodes_via_reference_binary(
+        self, seed, reference_cli, tmp_path
+    ):
+        """The block-parallel mode's conforming-stream claim, checked
+        against the actual reference decoder: a stream where every block
+        (or chunk head) is a stream head must decode identically through
+        the reference binary (src/aad_decoder.c:363-380 loads the complete
+        decoder state from each block header, so it cannot tell such a
+        stream from a sequential one). tools/soak_fuzz.py runs this same
+        check at soak scale."""
+        from util import reference_decode
+
+        from aad_tpu.codec.encoder import EncodeConfig
+
+        rng = np.random.default_rng(3000 + seed)
+        nch = int(rng.integers(1, 3))
+        bps = int(rng.integers(2, 5))
+        mbs = int(rng.integers(40 * nch, 700))
+        cfg = EncodeConfig(
+            num_channels=nch,
+            sampling_rate=8000,
+            bits_per_sample=bps,
+            max_block_size=mbs,
+            ch_process_method=int(rng.integers(0, 2)) if nch == 2 else 0,
+            num_encode_trials=int(rng.integers(0, 3)),
+        )
+        nspb = cfg.geometry().num_samples_per_block
+        n = int(rng.integers(1, 4 * nspb + 2))
+        pcm = rng.integers(-32768, 32768, (nch, n)).astype(np.int32)
+
+        par = native.encode_parallel(
+            pcm, cfg, chunk_blocks=int(rng.integers(1, 4))
+        )
+        (tmp_path / "par.aad").write_bytes(par)
+        ref_wav = reference_decode(
+            reference_cli, tmp_path / "par.aad", tmp_path / "par_dec.wav"
+        )
+        _, ref_pcm = read_wav(str(ref_wav))
+        _, ours = native.decode(par)
+        np.testing.assert_array_equal(np.asarray(ours), ref_pcm >> 16)
+
     @pytest.mark.parametrize("seed", range(4))
     def test_random_geometry_streaming_carry(self, seed):
         """The native streaming carry (aadx_encode_chunk / decode_blocks)
