@@ -1,8 +1,15 @@
 #!/usr/bin/env python
 """Batch transcoding: many streams in single device computations."""
+import sys
+
 import numpy as np
 
-import aad_tpu
+try:
+    import aad_tpu
+except ModuleNotFoundError:  # running from a source checkout without install
+    import pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import aad_tpu
 
 rng = np.random.default_rng(0)
 streams = [

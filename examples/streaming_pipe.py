@@ -4,9 +4,16 @@
 Demonstrates the bit-exact state carry — arbitrary chunk boundaries on
 both sides, output identical to a one-shot round trip.
 """
+import sys
+
 import numpy as np
 
-import aad_tpu
+try:
+    import aad_tpu
+except ModuleNotFoundError:  # running from a source checkout without install
+    import pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import aad_tpu
 
 rng = np.random.default_rng(0)
 pcm = (9000 * np.sin(np.arange(40000) / 23)).astype(np.int32)[None]

@@ -7,7 +7,12 @@ usage: transcode.py in.wav out.aad
 """
 import sys
 
-import aad_tpu
+try:
+    import aad_tpu
+except ModuleNotFoundError:  # running from a source checkout without install
+    import pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import aad_tpu
 
 if len(sys.argv) not in (3, 4):
     sys.exit(__doc__.strip())
