@@ -42,21 +42,16 @@ def encode_batch(
     block from a fresh state, blocks joining the lane axes).
     """
     config.validate()
-    plain = parallel_chunk_blocks == 1 and parallel_warm_passes == 0
     if engine == "native":
         # threaded GIL-free C calls: the CPU-host batch path
         from .. import native as _native
 
-        if parallel_blocks and not plain:
-            raise InvalidArgumentError(
-                "engine='native' supports parallel_blocks only with "
-                "chunk_blocks=1 and warm_passes=0; use a JAX engine for "
-                "the chunked/warm quality knobs"
-            )
         return _native.encode_batch(
-            streams, config, parallel_blocks=parallel_blocks
+            streams, config, parallel_blocks=parallel_blocks,
+            chunk_blocks=parallel_chunk_blocks if parallel_blocks else 1,
+            warm_passes=parallel_warm_passes if parallel_blocks else 0,
         )
-    if engine == "auto" and (not parallel_blocks or plain):
+    if engine == "auto":
         # Hybrid dispatch (the one-shot encode()'s policy): off-accelerator
         # the native engines (~11.5 M/s/core sequential, ~120 M/s/core
         # AVX-512 parallel mode) beat the scan engine by orders of
@@ -68,7 +63,13 @@ def encode_batch(
 
             if _native.available():
                 return _native.encode_batch(
-                    streams, config, parallel_blocks=parallel_blocks
+                    streams, config, parallel_blocks=parallel_blocks,
+                    chunk_blocks=(
+                        parallel_chunk_blocks if parallel_blocks else 1
+                    ),
+                    warm_passes=(
+                        parallel_warm_passes if parallel_blocks else 0
+                    ),
                 )
     engine = resolve_encode_engine(engine)
     geo = config.geometry()

@@ -457,28 +457,20 @@ def encode(
     (codec.batch_encode, parallel.sharded) and through
     ``parallel_blocks=True`` — the block-independent mode, which encodes
     all blocks of even a single stream concurrently on the TPU (see
-    :class:`Encoder`). Off-accelerator, plain parallel mode (chunk=1,
-    warm=0) routes to the AVX-512 block-parallel host engine
-    (native/aadx.cc, byte-identical); the chunked/warm quality knobs are
-    JAX-only. Pass "scan"/"pallas"/"native" to override.
+    :class:`Encoder`). Off-accelerator, parallel mode routes to the
+    AVX-512 block-parallel host engine (native/aadx.cc, byte-identical
+    for every chunk/warm knob setting). Pass "scan"/"pallas"/"native" to
+    override.
     """
-    # the native engine serves any chunk_blocks; warm passes stay JAX-only
-    # (a Jacobi chain-state handoff between chunks, docs/DESIGN.md §1a)
-    native_parallel = parallel_blocks and parallel_warm_passes == 0
     if engine == "native":
         from .. import native
 
         if parallel_blocks:
-            if not native_parallel:
-                raise InvalidArgumentError(
-                    "engine='native' supports parallel_blocks only with "
-                    "warm_passes=0; use a JAX engine for the Jacobi warm "
-                    "quality knob"
-                )
             config.validate()
             return native.encode_parallel(
                 np.asarray(pcm, dtype=np.int32), config,
                 chunk_blocks=parallel_chunk_blocks,
+                warm_passes=parallel_warm_passes,
             )
         return native.encode(np.asarray(pcm, dtype=np.int32), config)
     if engine == "auto" and not parallel_blocks:
@@ -487,7 +479,7 @@ def encode(
         if native.available():
             config.validate()
             return native.encode(np.asarray(pcm, dtype=np.int32), config)
-    if engine == "auto" and native_parallel:
+    if engine == "auto" and parallel_blocks:
         # Off-accelerator, the AVX-512 block-parallel host engine (~160 M
         # samples/s) beats the scan engine by orders of magnitude; on TPU
         # the fused kernel path (~10 G samples/s) keeps the work.
@@ -501,6 +493,7 @@ def encode(
                 return native.encode_parallel(
                     np.asarray(pcm, dtype=np.int32), config,
                     chunk_blocks=parallel_chunk_blocks,
+                    warm_passes=parallel_warm_passes,
                 )
     return Encoder.from_config(
         config, engine=engine, parallel_blocks=parallel_blocks,

@@ -219,21 +219,28 @@ def encode(pcm: np.ndarray, config) -> bytes:
     return out[: out_size.value].tobytes()
 
 
-def encode_parallel(pcm: np.ndarray, config, chunk_blocks: int = 1) -> bytes:
+def encode_parallel(
+    pcm: np.ndarray, config, chunk_blocks: int = 1, warm_passes: int = 0
+) -> bytes:
     """Native block-independent (parallel-mode) encode.
 
     Byte-identical to ``aad_tpu.encode(pcm, config, parallel_blocks=True,
-    parallel_chunk_blocks=chunk_blocks)`` at warm_passes=0: chunks of
-    ``chunk_blocks`` blocks encode sequentially within (full trial
-    warm-up) and in parallel across chunks on the AVX-512 lanes — the
-    host-engine counterpart of ops/encode.py::encode_blocks_parallel and
-    its chunked quality knob (docs/DESIGN.md §1a).
+    parallel_chunk_blocks=chunk_blocks,
+    parallel_warm_passes=warm_passes)``: chunks of ``chunk_blocks``
+    blocks encode sequentially within (full trial warm-up) and in
+    parallel across chunks on the AVX-512 lanes; ``warm_passes`` adds the
+    Jacobi chunk-head refinement (scalar warm walks feeding the SIMD
+    final encode) — the host-engine counterpart of
+    ops/encode.py::encode_blocks_parallel and its quality knobs
+    (docs/DESIGN.md §1a).
     """
     lib = _load()
     if lib is None:
         raise RuntimeError("native codec unavailable")
     if chunk_blocks < 1:
         raise InvalidArgumentError(f"chunk_blocks must be >= 1: {chunk_blocks}")
+    if warm_passes < 0:
+        raise InvalidArgumentError(f"warm_passes must be >= 0: {warm_passes}")
     pcm = _check_pcm(pcm, config)
     nch, n = pcm.shape
     bound = lib.aadx_encode_bound(
@@ -253,6 +260,7 @@ def encode_parallel(pcm: np.ndarray, config, chunk_blocks: int = 1) -> bytes:
         config.ch_process_method,
         config.num_encode_trials,
         chunk_blocks,
+        warm_passes,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out.size,
         ctypes.byref(out_size),
@@ -380,7 +388,8 @@ def decode_payload_blocks(
 
 def encode_batch(
     streams, config, max_workers: int | None = None,
-    parallel_blocks: bool = False,
+    parallel_blocks: bool = False, chunk_blocks: int = 1,
+    warm_passes: int = 0,
 ) -> list[bytes]:
     """Threaded native batch encode: one GIL-free C call per stream.
 
@@ -393,13 +402,22 @@ def encode_batch(
     the device batch pipeline; results are byte-identical to per-stream
     native encodes (and therefore to the reference binary). With
     ``parallel_blocks`` each stream uses the block-independent mode
-    (:func:`encode_parallel`, the AVX-512 engine).
+    (:func:`encode_parallel`, the AVX-512 engine), with the
+    ``chunk_blocks``/``warm_passes`` quality knobs passed through.
     """
     from concurrent.futures import ThreadPoolExecutor
+    from functools import partial
 
     if _load() is None:
         raise RuntimeError("native codec unavailable")
-    one = encode_parallel if parallel_blocks else encode
+    one = (
+        partial(
+            encode_parallel, chunk_blocks=chunk_blocks,
+            warm_passes=warm_passes,
+        )
+        if parallel_blocks
+        else encode
+    )
     streams = list(streams)
     if len(streams) <= 1:
         return [one(pcm, config) for pcm in streams]

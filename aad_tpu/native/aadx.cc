@@ -266,6 +266,23 @@ void ms_transform(std::vector<int32_t>& a, std::vector<int32_t>& b,
   }
 }
 
+// The block header's in-place weight rounding (the masking that keeps
+// encoder and decoder synchronised; reference: src/aad_encoder.c:624-646)
+// without serialising the header — used by the Jacobi warm walks, which
+// need the state chain but emit no bytes.
+inline void round_weights_inplace(Lms& s) {
+  int32_t maxabs = 0;
+  for (int k = 0; k < kFilterOrder; ++k)
+    maxabs = std::max(maxabs, s.w[k] >= 0 ? s.w[k] : -s.w[k]);
+  uint32_t shift = 0;
+  while (maxabs > 32767) {
+    maxabs >>= 1;
+    ++shift;
+  }
+  const int32_t mask = ~((int32_t(1) << shift) - 1);
+  for (int k = 0; k < kFilterOrder; ++k) s.w[k] &= mask;
+}
+
 // Trial-measure pass: seed from the first 4 samples, encode [4, n), return
 // the summed squared quantisation error. State advances in place.
 //
@@ -286,6 +303,31 @@ int64_t measure(Lms* s, const int32_t* x, uint32_t n, uint32_t bps) {
     sse += int64_t(int32_t(q * q));  // wrapped product, sign-extended
   }
   return sse;
+}
+
+// One Jacobi warm walk over a chunk: the trials=0 state chain of
+// ops/encode.py::parallel_warm_states (per block: history seed + weight
+// rounding + full walk), bytes discarded. Only non-final chunks are ever
+// walked, so every block is full-length (the stream's single possibly-
+// ragged block lives in the final chunk, whose exit state nobody consumes).
+void warm_walk_chunk(const int32_t* pcm, uint32_t num_samples, uint32_t nch,
+                     bool ms, uint32_t bps, uint32_t nspb, uint32_t block0,
+                     uint32_t nblocks, Lms* state) {
+  std::vector<int32_t> cur[kMaxChannels];
+  for (uint32_t ch = 0; ch < nch; ++ch) cur[ch].resize(nspb);
+  for (uint32_t b = 0; b < nblocks; ++b) {
+    const size_t off = size_t(block0 + b) * nspb;
+    for (uint32_t ch = 0; ch < nch; ++ch)
+      std::memcpy(cur[ch].data(), pcm + size_t(ch) * num_samples + off,
+                  sizeof(int32_t) * nspb);
+    if (ms) ms_transform(cur[0], cur[1], nspb);
+    for (uint32_t ch = 0; ch < nch; ++ch) {
+      // rounding depends only on the weights; measure() re-seeds the
+      // (identical) history itself before walking
+      round_weights_inplace(state[ch]);
+      measure(&state[ch], cur[ch].data(), nspb, bps);
+    }
+  }
 }
 
 // Two independent measure chains interleaved per sample step. Each
@@ -849,7 +891,8 @@ void encode_chunk_simd(const int32_t* pcm, uint32_t num_samples, bool ms,
                        uint32_t num_trials, uint32_t c, uint32_t chunk0,
                        const Geometry& g, uint8_t* out,
                        std::vector<int32_t>& tm,
-                       std::vector<uint8_t>& tcodes) {
+                       std::vector<uint8_t>& tcodes,
+                       const Lms* seeds = nullptr) {
   constexpr int kLanes = 16 * G;
   constexpr int CPG = kLanes / NCH;  // chunks per group call
   constexpr int cb = (BPS == 3) ? 3 : 1;
@@ -894,6 +937,29 @@ void encode_chunk_simd(const int32_t* pcm, uint32_t num_samples, bool ms,
 
   LaneState st[G];
   for (int grp = 0; grp < G; ++grp) st[grp] = zero_state();
+  if (seeds) {
+    // Jacobi-warmed chunk-head states: lane l of group grp carries chunk
+    // chunk0 + (grp*16+l)/NCH, channel (grp*16+l)%NCH
+    for (int grp = 0; grp < G; ++grp) {
+      alignas(64) int32_t hb[kFilterOrder][16], wb[kFilterOrder][16];
+      alignas(64) int32_t ib[16];
+      for (int lane = 0; lane < 16; ++lane) {
+        const int gl = grp * 16 + lane;
+        const Lms& s =
+            seeds[(size_t(chunk0) + gl / NCH) * NCH + gl % NCH];
+        for (int k = 0; k < kFilterOrder; ++k) {
+          hb[k][lane] = s.h[k];
+          wb[k][lane] = s.w[k];
+        }
+        ib[lane] = s.idx;
+      }
+      for (int k = 0; k < kFilterOrder; ++k) {
+        st[grp].h[k] = _mm512_load_si512(hb[k]);
+        st[grp].w[k] = _mm512_load_si512(wb[k]);
+      }
+      st[grp].idx = _mm512_load_si512(ib);
+    }
+  }
 
   for (uint32_t b = 0; b < c; ++b) {
     const int32_t* tmb = tm.data() + size_t(b) * nspb * kLanes;
@@ -1063,7 +1129,8 @@ void encode_chunk_simd(const int32_t* pcm, uint32_t num_samples, bool ms,
 template <int BPS, int NCH>
 uint32_t encode_blocks_simd(const int32_t* pcm, uint32_t num_samples, bool ms,
                             uint32_t num_trials, uint32_t nchunks, uint32_t c,
-                            const Geometry& g, uint8_t* out) {
+                            const Geometry& g, uint8_t* out,
+                            const Lms* seeds = nullptr) {
   constexpr int cb = (BPS == 3) ? 3 : 1;
   constexpr uint32_t CPG = 16 / NCH;  // chunks per 16-lane group
   const uint32_t nspb = g.samples_per_block;
@@ -1074,12 +1141,12 @@ uint32_t encode_blocks_simd(const int32_t* pcm, uint32_t num_samples, bool ms,
   uint32_t ch = 0;
   while (ch + 2 * CPG <= nchunks) {
     encode_chunk_simd<BPS, NCH, 2>(pcm, num_samples, ms, num_trials, c, ch,
-                                   g, out, tm, tcodes);
+                                   g, out, tm, tcodes, seeds);
     ch += 2 * CPG;
   }
   if (ch + CPG <= nchunks) {
     encode_chunk_simd<BPS, NCH, 1>(pcm, num_samples, ms, num_trials, c, ch,
-                                   g, out, tm, tcodes);
+                                   g, out, tm, tcodes, seeds);
     ch += CPG;
   }
   return ch * c;  // blocks encoded
@@ -1092,7 +1159,8 @@ uint32_t encode_blocks_simd(const int32_t* pcm, uint32_t num_samples, bool ms,
 uint32_t run_simd_encode_parallel(const int32_t* pcm, const AadxInfo& h,
                                   const Geometry& g, uint32_t num_trials,
                                   uint32_t chunk_blocks, uint8_t* out,
-                                  size_t capacity) {
+                                  size_t capacity,
+                                  const Lms* seeds = nullptr) {
   static const bool ok = __builtin_cpu_supports("avx512f");
   if (!ok) return 0;
   const uint32_t nspb = g.samples_per_block;
@@ -1108,22 +1176,22 @@ uint32_t run_simd_encode_parallel(const int32_t* pcm, const AadxInfo& h,
   switch (h.bits_per_sample * 10 + h.num_channels) {
     case 41:
       return encode_blocks_simd<4, 1>(pcm, h.num_samples, ms, num_trials,
-                                      nchunks, c, g, out);
+                                      nchunks, c, g, out, seeds);
     case 42:
       return encode_blocks_simd<4, 2>(pcm, h.num_samples, ms, num_trials,
-                                      nchunks, c, g, out);
+                                      nchunks, c, g, out, seeds);
     case 31:
       return encode_blocks_simd<3, 1>(pcm, h.num_samples, ms, num_trials,
-                                      nchunks, c, g, out);
+                                      nchunks, c, g, out, seeds);
     case 32:
       return encode_blocks_simd<3, 2>(pcm, h.num_samples, ms, num_trials,
-                                      nchunks, c, g, out);
+                                      nchunks, c, g, out, seeds);
     case 21:
       return encode_blocks_simd<2, 1>(pcm, h.num_samples, ms, num_trials,
-                                      nchunks, c, g, out);
+                                      nchunks, c, g, out, seeds);
     case 22:
       return encode_blocks_simd<2, 2>(pcm, h.num_samples, ms, num_trials,
-                                      nchunks, c, g, out);
+                                      nchunks, c, g, out, seeds);
     default:
       return 0;
   }
@@ -1291,7 +1359,8 @@ static int encode_impl(const int32_t* pcm, uint32_t num_channels,
                        uint8_t* out, size_t capacity, size_t* out_size,
                        bool independent_blocks, uint32_t chunk_blocks = 1,
                        int32_t* state_io = nullptr, int32_t* prev_io = nullptr,
-                       uint32_t blocks_before = 0) {
+                       uint32_t blocks_before = 0,
+                       uint32_t warm_passes = 0) {
   // Chunk (streaming) mode when state_io != nullptr: no file header is
   // written, the predictor chain starts from state_io ((C, 9): h[4], w[4],
   // idx per channel) with prev_io ((C, nspb), channel-transformed domain)
@@ -1304,6 +1373,7 @@ static int encode_impl(const int32_t* pcm, uint32_t num_channels,
     return AADX_INVALID_ARGUMENT;
   if (chunk_blocks == 0 || (!independent_blocks && chunk_blocks != 1))
     return AADX_INVALID_ARGUMENT;
+  if (warm_passes > 0 && !independent_blocks) return AADX_INVALID_ARGUMENT;
 
   Geometry g;
   int rc = derive_geometry(max_block_size, num_channels, bits_per_sample, &g);
@@ -1361,11 +1431,46 @@ static int encode_impl(const int32_t* pcm, uint32_t num_channels,
     }
   }
 
+  // Jacobi warm passes (the native mirror of ops/encode.py::
+  // encode_blocks_parallel's warm_passes knob): each pass walks every
+  // non-final chunk trials=0 from its seed, then hands chunk g's exit
+  // state to chunk g+1 as its next-pass seed (chunk 0 re-seeds from
+  // zeros). The final encode consumes the last pass's seeds at every
+  // chunk head — SIMD lanes and the scalar tail alike.
+  std::vector<Lms> warm_seeds;
+  if (independent_blocks && warm_passes > 0 && num_samples > 0) {
+    const uint32_t B = (num_samples + nspb - 1) / nspb;
+    const uint32_t G = (B + chunk_blocks - 1) / chunk_blocks;
+    if (G > 1) {
+      warm_seeds.assign(size_t(G) * num_channels, Lms{});
+      std::vector<Lms> finals(size_t(G - 1) * num_channels);
+      for (uint32_t pass = 0; pass < warm_passes; ++pass) {
+        for (uint32_t gc = 0; gc + 1 < G; ++gc) {
+          Lms st[kMaxChannels];
+          for (uint32_t ch = 0; ch < num_channels; ++ch)
+            st[ch] = warm_seeds[size_t(gc) * num_channels + ch];
+          warm_walk_chunk(pcm, num_samples, num_channels, ms,
+                          bits_per_sample, nspb, gc * chunk_blocks,
+                          chunk_blocks, st);
+          for (uint32_t ch = 0; ch < num_channels; ++ch)
+            finals[size_t(gc) * num_channels + ch] = st[ch];
+        }
+        for (uint32_t ch = 0; ch < num_channels; ++ch)
+          warm_seeds[ch] = Lms{};
+        for (uint32_t gc = 1; gc < G; ++gc)
+          for (uint32_t ch = 0; ch < num_channels; ++ch)
+            warm_seeds[size_t(gc) * num_channels + ch] =
+                finals[size_t(gc - 1) * num_channels + ch];
+      }
+    }
+  }
+  const Lms* seeds = warm_seeds.empty() ? nullptr : warm_seeds.data();
+
   uint32_t done0 = 0;
 #if AADX_HAVE_SIMD
   if (independent_blocks) {
     const uint32_t nbv = run_simd_encode_parallel(
-        pcm, h, g, num_encode_trials, chunk_blocks, out, capacity);
+        pcm, h, g, num_encode_trials, chunk_blocks, out, capacity, seeds);
     done0 = nbv * nspb;  // nbv is chunk-aligned, so the scalar loop
     p += size_t(nbv) * g.block_size;  // resumes at a chunk head
   }
@@ -1375,7 +1480,11 @@ static int encode_impl(const int32_t* pcm, uint32_t num_channels,
     const bool chunk_head =
         independent_blocks && ((done / nspb) % chunk_blocks == 0);
     if (chunk_head)
-      for (uint32_t ch = 0; ch < num_channels; ++ch) state[ch] = Lms{};
+      for (uint32_t ch = 0; ch < num_channels; ++ch)
+        state[ch] =
+            seeds ? seeds[size_t(done / nspb / chunk_blocks) * num_channels +
+                          ch]
+                  : Lms{};
 
     // current block, zero-padded, channel-transformed
     for (uint32_t ch = 0; ch < num_channels; ++ch) {
@@ -1548,11 +1657,12 @@ int aadx_encode_parallel(const int32_t* pcm, uint32_t num_channels,
                          uint32_t bits_per_sample, uint32_t max_block_size,
                          uint32_t ch_process_method,
                          uint32_t num_encode_trials, uint32_t chunk_blocks,
-                         uint8_t* out, size_t capacity, size_t* out_size) {
+                         uint32_t warm_passes, uint8_t* out, size_t capacity,
+                         size_t* out_size) {
   return encode_impl(pcm, num_channels, num_samples, sampling_rate,
                      bits_per_sample, max_block_size, ch_process_method,
                      num_encode_trials, out, capacity, out_size, true,
-                     chunk_blocks);
+                     chunk_blocks, nullptr, nullptr, 0, warm_passes);
 }
 
 int aadx_encode_chunk(const int32_t* pcm, uint32_t num_channels,

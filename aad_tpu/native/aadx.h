@@ -58,13 +58,18 @@ int aadx_encode(const int32_t* pcm, uint32_t num_channels,
  * encode sequentially within (full trial warm-up included), so the output
  * equals the concatenation of per-chunk sequential encodes — the byte
  * contract of the JAX engines' parallel_blocks=True mode with
- * parallel_chunk_blocks. chunk_blocks=1 is the plain per-block mode. */
+ * parallel_chunk_blocks. chunk_blocks=1 is the plain per-block mode.
+ * warm_passes > 0 adds Jacobi warm refinement: each pass walks every
+ * non-final chunk trials=0 and hands its exit state to the next chunk as
+ * that chunk's head seed for the following pass — the byte contract of
+ * parallel_warm_passes (ops/encode.py::encode_blocks_parallel). */
 int aadx_encode_parallel(const int32_t* pcm, uint32_t num_channels,
                          uint32_t num_samples, uint32_t sampling_rate,
                          uint32_t bits_per_sample, uint32_t max_block_size,
                          uint32_t ch_process_method,
                          uint32_t num_encode_trials, uint32_t chunk_blocks,
-                         uint8_t* out, size_t capacity, size_t* out_size);
+                         uint32_t warm_passes, uint8_t* out, size_t capacity,
+                         size_t* out_size);
 
 /* Streaming-chunk encode: encode num_samples (whole blocks, or a final
  * short tail) continuing a sequential chain. No file header is written.

@@ -405,7 +405,6 @@ class TestNativeBatch:
     def test_encode_batch_parallel_blocks(self):
         from aad_tpu.codec.batch_encode import encode_batch as api_batch
         from aad_tpu.codec.encoder import EncodeConfig, encode
-        from aad_tpu.codec.result import InvalidArgumentError
 
         rng = np.random.default_rng(11)
         cfg = EncodeConfig(num_channels=2, sampling_rate=16000,
@@ -421,10 +420,15 @@ class TestNativeBatch:
         assert native.encode_batch(streams, cfg, parallel_blocks=True) == want
         assert api_batch(streams, cfg, engine="native",
                          parallel_blocks=True) == want
-        # quality knobs stay JAX-only on the native engine
-        with pytest.raises(InvalidArgumentError):
-            api_batch(streams, cfg, engine="native", parallel_blocks=True,
-                      parallel_chunk_blocks=2)
+        # quality knobs ride the native batch path too
+        want_k = [
+            encode(p, cfg, engine="scan", parallel_blocks=True,
+                   parallel_chunk_blocks=2, parallel_warm_passes=1)
+            for p in streams
+        ]
+        assert api_batch(streams, cfg, engine="native", parallel_blocks=True,
+                         parallel_chunk_blocks=2,
+                         parallel_warm_passes=1) == want_k
 
     def test_batch_auto_routes_natively_off_accelerator(self):
         """engine='auto' on a CPU host = the hybrid one-shot policy: the

@@ -367,6 +367,38 @@ class TestNativeParallel:
         assert a == b, f"{cfg} c={c} n={n}"
 
     @pytest.mark.parametrize("seed", range(4))
+    def test_native_warm_random_geometry(self, seed):
+        """Random geometry x chunk size x warm passes: the native Jacobi
+        refinement (scalar warm walks seeding the SIMD/scalar final
+        encode, aadx.cc::warm_walk_chunk) vs the scan warm mode
+        (ops/encode.py::parallel_warm_states), byte-exact. Covers SIMD
+        seed injection, the scalar-tail seed, and ragged tails."""
+        from aad_tpu import native
+        from aad_tpu.codec.encoder import EncodeConfig
+
+        if not native.available():
+            pytest.skip("native codec unavailable")
+        rng = np.random.default_rng(6000 + seed)
+        nch = int(rng.integers(1, 3))
+        bps = int(rng.integers(2, 5))
+        mbs = int(rng.integers(40 * nch, 500))
+        c = int(rng.integers(1, 6))
+        k = int(rng.integers(1, 4))
+        cfg = EncodeConfig(
+            num_channels=nch, sampling_rate=8000, bits_per_sample=bps,
+            max_block_size=mbs,
+            ch_process_method=int(rng.integers(0, 2)) if nch == 2 else 0,
+            num_encode_trials=int(rng.integers(0, 3)),
+        )
+        nspb = cfg.geometry().num_samples_per_block
+        n = int(rng.integers(1, nspb * (c * (32 // nch) + c + 2)))
+        pcm = rng.integers(-32768, 32768, (nch, n)).astype(np.int32)
+        a = native.encode_parallel(pcm, cfg, chunk_blocks=c, warm_passes=k)
+        b = encode(pcm, cfg, engine="scan", parallel_blocks=True,
+                   parallel_chunk_blocks=c, parallel_warm_passes=k)
+        assert a == b, f"{cfg} c={c} k={k} n={n}"
+
+    @pytest.mark.parametrize("seed", range(4))
     def test_native_parallel_random_geometry(self, seed):
         """Random (odd) block geometries through the SIMD dispatcher: the
         LCM interleave-unit math must hold in the vector emit/assembly
@@ -405,7 +437,6 @@ class TestNativeParallel:
 
     def test_native_engine_param_and_auto_routing(self):
         from aad_tpu import native
-        from aad_tpu.codec.result import InvalidArgumentError
 
         if not native.available():
             pytest.skip("native codec unavailable")
@@ -423,7 +454,10 @@ class TestNativeParallel:
                       parallel_chunk_blocks=3) == want_c
         assert encode(pcm, cfg, engine="auto", parallel_blocks=True,
                       parallel_chunk_blocks=3) == want_c
-        # the Jacobi warm quality knob stays JAX-only
-        with pytest.raises(InvalidArgumentError):
-            encode(pcm, cfg, engine="native", parallel_blocks=True,
-                   parallel_warm_passes=1)
+        # the Jacobi warm quality knob, native vs JAX (scalar warm walks
+        # seeding the SIMD final encode)
+        want_w = encode(pcm, cfg, engine="scan", parallel_blocks=True,
+                        parallel_chunk_blocks=3, parallel_warm_passes=2)
+        assert encode(pcm, cfg, engine="native", parallel_blocks=True,
+                      parallel_chunk_blocks=3,
+                      parallel_warm_passes=2) == want_w
