@@ -90,7 +90,9 @@ def main(n_seeds: int = 400) -> int:
         # identically (the "every block a stream head" validity claim,
         # reference: src/aad_decoder.c:363-380 per-block state load)
         cb = int(rng.integers(1, 4))
-        par = native.encode_parallel(pcm, cfg, chunk_blocks=cb)
+        wp = int(rng.integers(0, 3))
+        par = native.encode_parallel(pcm, cfg, chunk_blocks=cb,
+                                     warm_passes=wp)
         (work / f"p{seed}.aad").write_bytes(par)
         ref_pwav = reference_decode(binary, work / f"p{seed}.aad",
                                     work / f"p{seed}_dec.wav")
@@ -98,7 +100,8 @@ def main(n_seeds: int = 400) -> int:
         _, pdec = native.decode(par)
         if not np.array_equal(np.asarray(pdec), ref_ppcm >> 16):
             bad += 1
-            print(f"PARALLEL-STREAM DIVERGENCE seed={seed} c={cb} cfg={cfg}")
+            print(f"PARALLEL-STREAM DIVERGENCE seed={seed} c={cb} wp={wp} "
+                  f"cfg={cfg}")
         for f in work.iterdir():
             f.unlink()
         if (seed + 1) % 50 == 0:
