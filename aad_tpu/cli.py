@@ -398,11 +398,18 @@ def main(argv=None) -> int:
         sys.stderr.write(f"Failed to encode. API result:{e.result.value} \n")
         return 1
     except OSError as e:
-        # WAV output writes are the only opens not wrapped site-specifically
-        # above; any failure class (missing dir, permission, is-a-directory)
-        # gets the open diagnostic rather than a traceback.
+        # WAV output opens are the only opens not wrapped site-specifically
+        # above; any open-failure class (missing dir, permission,
+        # is-a-directory) gets the open diagnostic rather than a traceback.
+        # Failures *after* a successful open (ENOSPC mid-write) arrive as
+        # WavWriteError and report what actually failed, with the errno text.
+        from .format.wav import WavWriteError
+
         name = e.filename if e.filename is not None else args.output
-        sys.stderr.write(f"Failed to open {name}. \n")
+        if isinstance(e, WavWriteError):
+            sys.stderr.write(f"Failed to write {name}: {e.strerror}. \n")
+        else:
+            sys.stderr.write(f"Failed to open {name}. \n")
         return 1
 
 

@@ -516,7 +516,9 @@ def decode(
 
     Returns (header, pcm) where pcm is (num_channels, num_samples) int32 in
     the int16 value range — the same convention as the reference's
-    ``DecodeWhole`` output buffers (reference: src/aad_decoder.c:478).
+    ``DecodeWhole`` output buffers (reference: src/aad_decoder.c:478). The
+    int32 dtype is a guarantee, normalized at the single exit below, however
+    the call dispatched (native, JAX engines, strict or lenient).
 
     ``engine="auto"`` prefers the native codec: a one-shot bytes-in →
     host-array-out decode is bound by dispatch latency plus two host↔device
@@ -553,9 +555,11 @@ def decode(
     native = _native_mod.resolve(engine)
     if native is not None:
         if not truncated:
-            return native.decode(buf)
-        return header, _native_lenient(native, buf, header, geo)
-
-    dec = Decoder.from_header(header, engine=engine)
-    pcm = dec.decode_payload_ondevice(buf[FILE_HEADER_SIZE:], strict=strict)
+            header, pcm = native.decode(buf)
+        else:
+            pcm = _native_lenient(native, buf, header, geo)
+    else:
+        dec = Decoder.from_header(header, engine=engine)
+        pcm = dec.decode_payload_ondevice(buf[FILE_HEADER_SIZE:], strict=strict)
+    # single exit: int32 whatever the dispatch (free when already int32)
     return header, np.asarray(pcm, dtype=np.int32)

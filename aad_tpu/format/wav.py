@@ -108,8 +108,19 @@ def read_wav(path: str) -> tuple[WavFormat, np.ndarray]:
     return WavFormat(nch, rate, depth, num_samples), pcm
 
 
+class WavWriteError(OSError):
+    """A WAV output failed *after* the file opened (e.g. disk full mid-write).
+
+    Distinct from the plain OSError an ``open()`` failure raises so callers
+    (the CLI) can report open vs write failures accurately."""
+
+
 def write_wav(path: str, fmt: WavFormat, pcm: np.ndarray) -> None:
-    """Write canonical (C, N) int32 PCM to a WAV file at ``fmt.bits_per_sample``."""
+    """Write canonical (C, N) int32 PCM to a WAV file at ``fmt.bits_per_sample``.
+
+    Open failures propagate as plain OSError; failures after a successful
+    open raise WavWriteError.
+    """
     nch = fmt.num_channels
     depth = fmt.bits_per_sample
     payload = _encode_pcm(np.asarray(pcm, dtype=np.int32), depth)
@@ -119,7 +130,11 @@ def write_wav(path: str, fmt: WavFormat, pcm: np.ndarray) -> None:
         "<HHIIHH", 1, nch, fmt.sampling_rate, byte_rate, block_align, depth
     )
     size = 4 + (8 + len(fmt_chunk)) + (8 + len(payload))
-    with open(path, "wb") as f:
-        f.write(b"RIFF" + struct.pack("<I", size) + b"WAVE")
-        f.write(b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk)
-        f.write(b"data" + struct.pack("<I", len(payload)) + payload)
+    f = open(path, "wb")  # open failures stay plain OSError
+    try:
+        with f:
+            f.write(b"RIFF" + struct.pack("<I", size) + b"WAVE")
+            f.write(b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk)
+            f.write(b"data" + struct.pack("<I", len(payload)) + payload)
+    except OSError as e:
+        raise WavWriteError(e.errno or 0, e.strerror or str(e), path) from None

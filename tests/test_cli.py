@@ -203,6 +203,21 @@ class TestErrors:
         assert r.returncode == 1
         assert r.stderr == f"Failed to open {tmp_path}. \n"
 
+    @pytest.mark.skipif(not os.path.exists("/dev/full"),
+                        reason="/dev/full unavailable")
+    def test_midwrite_failure_reports_write_not_open(self, reference_cli,
+                                                     short_wav, tmp_path):
+        """A failure AFTER a successful open (ENOSPC on /dev/full) must
+        report a write failure with the errno text, not 'Failed to open'."""
+        aad = tmp_path / "w.aad"
+        subprocess.run(
+            [str(reference_cli), "-e", str(short_wav), str(aad)], check=True
+        )
+        r = run_cli(["-d", str(aad), "/dev/full"])
+        assert r.returncode == 1
+        assert r.stderr.startswith("Failed to write /dev/full: ")
+        assert "No space left" in r.stderr
+
     def test_lenient_decode_env_var(self, reference_cli, short_wav, tmp_path):
         """AAD_TPU_STRICT=0 reproduces the reference's decode-what's-there
         CLI behaviour on a truncated stream (reference: src/main.c:102-111

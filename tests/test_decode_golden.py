@@ -31,6 +31,20 @@ def test_golden_decode_bit_exact(fixture_dir, aad_name, wav_name, engine):
     # (reference: src/main.c:124); canonical WAV form is value << 16 again.
     golden16 = golden >> 16
     np.testing.assert_array_equal(pcm, golden16)
+    # dtype guarantee: int32 whatever engine/dispatch served the call
+    assert np.asarray(pcm).dtype == np.int32
+
+
+def test_decode_dtype_guarantee_all_dispatches(fixture_dir):
+    """decode() returns int32 for every dispatch: auto (native), each JAX
+    engine, and the lenient truncated path (ADVICE r3: the dtype must not
+    depend on native availability)."""
+    data = (fixture_dir / "sin300Hz_mono.aad").read_bytes()
+    for engine in ("auto", "native", "scan", "pallas", "fused"):
+        _, pcm = decode(data, engine=engine)
+        assert np.asarray(pcm).dtype == np.int32, engine
+    _, lenient = decode(data[:-40], engine="auto", strict=False)
+    assert np.asarray(lenient).dtype == np.int32
 
 
 def test_decode_block_range_matches_whole(fixture_dir):

@@ -118,3 +118,19 @@ def test_cli_24bit_input_gap_mode(tmp_path, reference_cli):
     _, got = read_wav(str(ours))
     _, want = read_wav(str(ref))
     np.testing.assert_array_equal(got, want)
+
+
+def test_write_failure_after_open_is_wav_write_error():
+    """ENOSPC mid-write (open succeeds on /dev/full) raises WavWriteError,
+    not a plain OSError — the CLI keys its diagnostic on the distinction."""
+    import os
+
+    from aad_tpu.format.wav import WavWriteError
+
+    if not os.path.exists("/dev/full"):
+        pytest.skip("/dev/full unavailable")
+    pcm = np.zeros((1, 64), dtype=np.int32)
+    with pytest.raises(WavWriteError) as ei:
+        write_wav("/dev/full", WavFormat(1, 8000, 16, 64), pcm)
+    assert ei.value.filename == "/dev/full"
+    assert ei.value.strerror
