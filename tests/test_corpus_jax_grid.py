@@ -14,9 +14,12 @@ The full product is 108 cells (the reference's table lists 107 — it omits
 the (sin300Hz.wav, 2 bps, 4096, MS) cell, an apparent oversight; the
 superset is run here). By default a covering subset runs — every
 (fixture, bps) pair, every block size, both channel modes, and every
-(bps, block) combination appear — to fit the CPU suite's time budget;
-set AAD_TPU_FULL_GRID=1 to run all cells (the TPU hardware suite and the
-round's conformance record do).
+(bps, block) combination appear — to fit the CPU suite's time budget.
+AAD_TPU_FULL_GRID=1 runs all cells, and it is set by two committed
+harnesses: the ci.yml ``full-grid`` job (every push/PR) and
+``tools/run_full_grid.py`` (writes the round's FULLGRID_r*.json record).
+Under FULL_GRID the fused-decode case also runs uncapped (see
+test_grid_cell_fused_decode).
 """
 
 import os
@@ -69,11 +72,15 @@ def _covering_subset():
     return subset
 
 
-CASES = (
-    FULL_GRID
-    if os.environ.get("AAD_TPU_FULL_GRID") == "1"
-    else _covering_subset()
-)
+_FULL = os.environ.get("AAD_TPU_FULL_GRID") == "1"
+CASES = FULL_GRID if _FULL else _covering_subset()
+
+# Fused-engine decode coverage: uncapped under FULL_GRID (every MS/128/4096
+# cell passes through the fused engine); the default suite keeps the 8-cell
+# slice for its time budget.
+_FUSED_CASES = [c for c in CASES if c[2] in (128, 4096) or c[3]]
+if not _FULL:
+    _FUSED_CASES = _FUSED_CASES[:8]
 
 
 @pytest.fixture(scope="module")
@@ -116,10 +123,7 @@ def test_reference_grid_cell_through_jax_engines(corpus, name, bps, block, ms):
     assert len(want) < pcm.size * 2 / 2
 
 
-@pytest.mark.parametrize(
-    "name,bps,block,ms",
-    [c for c in CASES if c[2] in (128, 4096) or c[3]][:8],
-)
+@pytest.mark.parametrize("name,bps,block,ms", _FUSED_CASES)
 def test_grid_cell_fused_decode(corpus, name, bps, block, ms):
     """Fused-engine decode (interpret on CPU, hardware on TPU) on the grid
     geometries the round-2 review flagged as native-only (MS, 128/4096

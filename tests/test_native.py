@@ -257,6 +257,10 @@ class TestGeometryFuzz:
         )
         _, ref_pcm = read_wav(str(ref_wav))
         np.testing.assert_array_equal(np.asarray(dj), ref_pcm >> 16)
+        # the JAX scan decoder face-to-face with the reference binary's
+        # decoded WAV — no native engine in this comparison
+        _, dscan = decode(ref, engine="scan")
+        np.testing.assert_array_equal(np.asarray(dscan), ref_pcm >> 16)
 
     @pytest.mark.parametrize("seed", range(3))
     def test_parallel_stream_decodes_via_reference_binary(

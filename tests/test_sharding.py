@@ -162,6 +162,15 @@ def test_graft_entry_and_dryrun():
         g.dryrun_multichip(8)
 
 
+def test_dryrun_16_devices():
+    """16-device mesh: catches any 8-device assumption in make_mesh / shard
+    shapes. dryrun_multichip self-provisions a 16-device virtual CPU child
+    and asserts sharded == unsharded bit-exactness inside."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(16)
+
+
 class TestSequenceParallelEncode:
     """Block-independent encode with the block axis sharded over the mesh
     (parallel/sharded.py::encode_blocks_parallel_sharded)."""

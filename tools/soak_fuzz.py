@@ -1,15 +1,19 @@
-"""Extended differential soak: native engine vs the reference binary.
+"""Extended differential soak: our engines vs the reference binary, direct.
 
 Random geometries (odd block sizes, mono/stereo, LR/MS, trials 0-2), both
 directions, N seeds (default 400, ~6 min). Scales up the suite's
 tests/test_native.py::TestGeometryFuzz (6 seeds per run) for pre-release
-confidence sweeps; uses the fast native engine only — the JAX engines are
-pinned byte-exact to native across the suite's engine grids.
+confidence sweeps. Most seeds run the fast native engine; every
+``JAX_EVERY``-th seed ALSO puts the JAX scan engines face-to-face with the
+reference binary (encode bytes and decoded samples, no native
+transitivity), and every ``FUSED_EVERY``-th seed additionally decodes
+through the fused engine (Pallas interpret on CPU — slow, so sparse). The
+final line reports per-engine seed counts.
 
 Usage: python tools/soak_fuzz.py [num_seeds]
 
-Exit 0 iff every seed's encode bytes and decoded samples match the
-reference binary (reference: src/aad_encoder.c:85-131 interleave geometry,
+Exit 0 iff every compared byte/sample matches the reference binary
+(reference: src/aad_encoder.c:85-131 interleave geometry,
 src/aad_encoder.c:470-562 trial search, src/aad_decoder.c:394-455 block
 data walk). Seed space (50_000+) is disjoint from the suite's (1000+).
 """
@@ -29,10 +33,18 @@ import numpy as np
 from util import reference_decode, reference_encode, write_pcm16_wav
 
 from aad_tpu import native
+from aad_tpu.codec.decoder import decode as jax_decode
 from aad_tpu.codec.encoder import EncodeConfig
+from aad_tpu.codec.encoder import encode as jax_encode
 from aad_tpu.format.wav import read_wav
 
 REFERENCE_DIR = Path("/root/reference")
+
+# Direct JAX-engine seeds: every Nth seed compares the scan engines (and,
+# sparser, fused-interpret decode) straight against the reference binary —
+# a shared native+JAX misreading of the geometry helpers cannot pass.
+JAX_EVERY = 8
+FUSED_EVERY = 64
 
 
 def main(n_seeds: int = 400) -> int:
@@ -48,6 +60,7 @@ def main(n_seeds: int = 400) -> int:
     work.mkdir()
 
     bad = 0
+    counts = {"native": 0, "scan": 0, "fused": 0}
     for seed in range(n_seeds):
         rng = np.random.default_rng(50_000 + seed)
         nch = int(rng.integers(1, 3))
@@ -68,6 +81,7 @@ def main(n_seeds: int = 400) -> int:
         pcm = rng.integers(-scale, scale, (nch, n)).astype(np.int32)
 
         ours = native.encode(pcm, cfg)
+        counts["native"] += 1
         wav = work / f"s{seed}.wav"
         write_pcm16_wav(wav, pcm, 8000)
         ref = reference_encode(binary, wav, work / f"s{seed}.aad", bps=bps,
@@ -84,6 +98,28 @@ def main(n_seeds: int = 400) -> int:
             bad += 1
             print(f"DECODE DIVERGENCE seed={seed} cfg={cfg}")
             continue
+
+        # direct JAX-engine oracle seeds: reference binary on one side,
+        # the scan engines (no native in the loop) on the other
+        if seed % JAX_EVERY == 0:
+            counts["scan"] += 1
+            jenc = jax_encode(pcm, cfg, engine="scan")
+            if jenc != ref:
+                bad += 1
+                print(f"JAX-ENCODE DIVERGENCE seed={seed} cfg={cfg}")
+                continue
+            _, jdec = jax_decode(ref, engine="scan")
+            if not np.array_equal(np.asarray(jdec), ref_pcm >> 16):
+                bad += 1
+                print(f"JAX-DECODE DIVERGENCE seed={seed} cfg={cfg}")
+                continue
+        if seed % FUSED_EVERY == 0:
+            counts["fused"] += 1
+            _, fdec = jax_decode(ref, engine="fused")
+            if not np.array_equal(np.asarray(fdec), ref_pcm >> 16):
+                bad += 1
+                print(f"FUSED-DECODE DIVERGENCE seed={seed} cfg={cfg}")
+                continue
 
         # block-parallel conformance: the framework's own mode must emit a
         # stream the REFERENCE decoder accepts and that our decoder reads
@@ -108,7 +144,12 @@ def main(n_seeds: int = 400) -> int:
             print(f"{seed + 1}/{n_seeds} ok so far (divergences: {bad})",
                   flush=True)
 
-    print(f"soak done: {n_seeds} seeds, {bad} divergences")
+    print(
+        f"soak done: {n_seeds} seeds, {bad} divergences; per-engine seeds: "
+        f"native={counts['native']} scan={counts['scan']} "
+        f"fused={counts['fused']} (scan/fused compared DIRECTLY against the "
+        f"reference binary)"
+    )
     return 1 if bad else 0
 
 
