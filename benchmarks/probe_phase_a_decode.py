@@ -16,9 +16,18 @@ this probe measures the decomposition directly, kernel-only:
              (lower-bounds any phase-A-fed consumer loop)
   qdiff_only idx chain + formula + qdiff, no LMS (phase A's in-kernel cost)
   two_loop   the real candidate: qdiff loop -> VMEM scratch -> LMS loop
+  pipelined  software pipelining inside ONE loop: iteration wi computes
+             word wi+1's qdiffs while the LMS chain consumes word wi's —
+             two independent chains per body, no scratch traffic
 
-If full <= two_loop (and full is close to lms_only) the direction is dead:
-the scheduler already overlaps the idx/formula branch with the LMS chain.
+If full <= two_loop/pipelined (and full is close to lms_only) the
+direction is dead: the scheduler already overlaps the idx/formula branch
+with the LMS chain inside the combined body.
+
+VERDICT (v5e, round 4 — see docs/DESIGN.md §2a): dead. Neither split form
+ever beat the combined loop (best case two_loop +0.5% at r=4, within
+noise; both lose at r<=2), and the lms_only lower bound shows the
+combined loop already hides most of the formula branch.
 
 Usage: python benchmarks/probe_phase_a_decode.py [r] [w_chunk]
 """
@@ -135,6 +144,51 @@ def make_kernel(variant: str, corrections, w_chunk: int):
                 state[k] = carry[k]
             return
 
+        if variant == "pipelined":
+            # Manual software pipelining: qdiffs for word wi+1 are computed
+            # in iteration wi (idx chain + formula depend only on codes),
+            # while the LMS chain consumes the qdiffs carried from the
+            # previous iteration — two INDEPENDENT chains per body, so the
+            # scheduler can overlap the formula branch under the LMS chain.
+            def qd_word(word, idx):
+                qs = []
+                for k in range(8):
+                    code = (word >> (4 * k)) & 0xF
+                    mag = code & absmask
+                    qs.append(_qdiff_of(idx, mag, code & signbit,
+                                        corrections))
+                    idx = _idx_next(idx, mag)
+                return tuple(qs), idx
+
+            def lms_word(wi, qs, lms):
+                outs = []
+                for k in range(8):
+                    s, lms = _lms_step(qs[k], *lms)
+                    outs.append(s)
+                for j in range(4):
+                    out_ref[wi * 4 + j, 0] = (
+                        (outs[2 * j + 1] << 16) | (outs[2 * j] & 0xFFFF)
+                    ).astype(jnp.uint32)
+                return lms
+
+            def body(wi, carry):
+                lms, idx, qs = carry[:8], carry[8], carry[9:]
+                nqs, idx = qd_word(words_ref[wi + 1, 0], idx)
+                lms = lms_word(wi, qs, lms)
+                return (*lms, idx, *nqs)
+
+            qs0, idx0 = qd_word(words_ref[0, 0], state[8])
+            carry = lax.fori_loop(
+                0, w_chunk - 1, body,
+                (*(state[k] for k in range(8)), idx0, *qs0),
+            )
+            lms, idx, qs = carry[:8], carry[8], carry[9:]
+            lms = lms_word(w_chunk - 1, qs, lms)
+            for k in range(8):
+                state[k] = lms[k]
+            state[8] = idx
+            return
+
         def word_step(wi, carry):
             word = words_ref[wi, 0]
             outs = []
@@ -240,7 +294,8 @@ def measure(variant, r=4, w_chunk=64, tiles=28, W=256):
 def main():
     r = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     w_chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    for variant in ("full", "lms_only", "qdiff_only", "two_loop"):
+    for variant in ("full", "lms_only", "qdiff_only", "two_loop",
+                    "pipelined"):
         sps, dt = measure(variant, r=r, w_chunk=w_chunk)
         print(f"{variant:10s} r={r} w_chunk={w_chunk} "
               f"{sps / 1e9:7.2f} Gsamples/s  {dt * 1e3:6.3f} ms/iter",
