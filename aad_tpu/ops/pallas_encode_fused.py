@@ -30,6 +30,7 @@ bounded VMEM.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -98,8 +99,6 @@ MAX_INTERLEAVE = 4
 
 def _pick_interleave(num_lanes: int) -> int:
     """Largest R in [1, MAX_INTERLEAVE] without padding past the lane count."""
-    import os
-
     cap = int(os.environ.get("AAD_TPU_ENCODE_R", MAX_INTERLEAVE))
     r = 1
     while r < cap and r * TILE < num_lanes:
@@ -116,6 +115,7 @@ def _make_kernel(
     bits_per_sample: int, corrections, num_trials: int, n_words: int,
     n_codes: int, stream_chunk: int | None = None, r: int = 1,
     warm_on_prev: bool = True, emit_state: bool = False,
+    pass_stack: bool = False,
 ):
     signbit = 1 << (bits_per_sample - 1)
     absmask = signbit - 1
@@ -137,6 +137,9 @@ def _make_kernel(
              wf_ref, codes_ref, hdr_ref, *rest) = refs
         if emit_state:
             fstate_ref, state, *stream_scratch = rest
+        elif pass_stack:
+            state, spec_ref = rest
+            stream_scratch = []
         else:
             state, *stream_scratch = rest
         b = pl.program_id(1)
@@ -415,6 +418,253 @@ def _make_kernel(
         pw_full = n_codes // 2
         live_prev = lambda gt: gt < n_codes
 
+        if pass_stack:
+            # ---- pass-stacked single-tile trial search ------------------
+            # Live lanes occupy sublane rows 0-3 only (gate: one lane tile,
+            # L <= 512), so two INDEPENDENT passes ride in one set of
+            # (8, 128) vector ops: rows 0-3 = chain X, rows 4-7 = chain Y —
+            # a dual slot costs ~one pass of vector work (the mechanism
+            # behind the R-interleave, applied to the pass axis). The
+            # trials=N search (reference: src/aad_encoder.c:470-562) runs
+            # in 2N slots instead of 2N+2 serial passes by pairing:
+            #   slot0          baseline measure   X  ||  warm_1 (prev)  Y
+            #   slot(M_1)      trial-1 measure    X  ||  emit[baseline] Y
+            #   slot(W_i+1)    warm_i+1 (prev)    X  ||  emit[cand_i]   Y
+            #   slot(M_N)      trial-N measure    X  ||  emit[cand_N]   Y
+            # Speculative emits: emit[baseline] stores unconditionally,
+            # emit[cand_i] (i < N) blends in place with the adopt flag
+            # better_i (known by then), emit[cand_N] lands in VMEM scratch
+            # and a cheap final loop blends it with better_N. Selection
+            # semantics are the reference's exact fold: last strict
+            # improvement wins (see sse_better).
+            half_rows = SUBLANES // 2
+            rowmask = lax.broadcasted_iota(jnp.int32, SHAPE, 0) < half_rows
+
+            def stack2(a, b):
+                return jnp.concatenate(
+                    [a[:half_rows], b[:half_rows]], axis=0
+                )
+
+            def upper(x):
+                return jnp.concatenate(
+                    [x[half_rows:], x[half_rows:]], axis=0
+                )
+
+            def stack2_st(a, b):
+                return tuple(stack2(x, y) for x, y in zip(a, b))
+
+            def upper_st(x):
+                return tuple(upper(v) for v in x)
+
+            def sel_st(pred, a, b):
+                return tuple(jnp.where(pred, x, y) for x, y in zip(a, b))
+
+            def round_seed(cand):
+                """seed + weight rounding: an emit pass's entry state
+                (the block-header snapshot, reference:
+                src/aad_encoder.c:624-646)."""
+                s = seed(cand, cur_h_ref)
+                maxabs = jnp.zeros(SHAPE, jnp.int32)
+                for k in range(4, 8):
+                    w_ = s[k]
+                    maxabs = jnp.maximum(
+                        maxabs, jnp.where(w_ >= 0, w_, -w_)
+                    )
+                shf = jnp.zeros(SHAPE, jnp.int32)
+                for _ in range(16):
+                    over = maxabs > jnp.int32(INT16_MAX)
+                    maxabs = jnp.where(over, maxabs >> 1, maxabs)
+                    shf = shf + over.astype(jnp.int32)
+                msk = ~((jnp.int32(1) << shf) - 1)
+                return (
+                    (*s[:4], s[4] & msk, s[5] & msk, s[6] & msk,
+                     s[7] & msk, s[8]),
+                    shf,
+                )
+
+            n_groups = n_words // 4
+
+            def dual_groups(sti, refX, refY, liveX, liveY, want_sse, sink):
+                """One stacked pass over the block's 4-word groups.
+
+                rows 0-3 of ``sti`` = chain X, rows 4-7 = chain Y. The
+                union body always runs masked (the single-stream tile has
+                dead lanes, so the per-tile unmasked bound is 0 anyway).
+                ``sink(g, word)`` consumes chain Y's packed code word,
+                moved down to rows 0-3; packing shifts stay static (group
+                iteration, see enc_group_u).
+                """
+
+                def group(g, carry):
+                    if want_sse:
+                        st_, sh, sl = carry[:9], carry[9], carry[10]
+                    else:
+                        st_ = carry
+                    cw = None
+                    for j in range(4):
+                        wX = refX[0, 4 * g + j, 0]
+                        wY = wX if refY is refX else refY[0, 4 * g + j, 0]
+                        w = stack2(wX, wY)
+                        lo = (w << 16) >> 16
+                        hi = w >> 16
+                        for k, sample in ((0, lo), (1, hi)):
+                            t = g * 8 + 2 * j + k
+                            code, qdiff, st2 = sample_step(sample, st_)
+                            # bool-select via logical ops: a where() on two
+                            # i1 vectors lowers to an i8->i1 trunci Mosaic
+                            # rejects ("Unsupported target bitwidth")
+                            live = (rowmask & liveX(t)) | (
+                                ~rowmask & liveY(t)
+                            )
+                            st_ = tuple(
+                                jnp.where(live, a2, b2)
+                                for a2, b2 in zip(st2, st_)
+                            )
+                            if want_sse:
+                                # wrapped int32 accumulator, u32-limb carry
+                                # (see measure above); Y rows masked out
+                                sq = jnp.where(
+                                    live & rowmask, qdiff * qdiff, 0
+                                )
+                                nsl = sl + sq
+                                usl = sl ^ jnp.int32(-2147483648)
+                                unsl = nsl ^ jnp.int32(-2147483648)
+                                sh = sh + (unsl < usl).astype(jnp.int32) + (
+                                    sq >> 31
+                                )
+                                sl = nsl
+                            if sink is not None:
+                                piece = code << (4 * (2 * j + k))
+                                cw = piece if cw is None else cw | piece
+                    if sink is not None:
+                        sink(g, upper(cw))
+                    return (*st_, sh, sl) if want_sse else st_
+
+                zero = jnp.zeros(SHAPE, jnp.int32)
+                init = (*sti, zero, zero) if want_sse else sti
+                out = lax.fori_loop(0, n_groups, group, init)
+                if want_sse:
+                    return out[:9], (out[9], out[10])
+                return out, None
+
+            liveM = lambda t: t < valid - FILTER_ORDER
+            liveP = lambda t: t < n_codes  # prev warm and emit share it
+            skip = valid < FILTER_ORDER
+            has_prev = (b + bb_ref[0]) >= 1
+
+            def sink_store(g, cwu):
+                codes_ref[0, g, 0] = cwu
+
+            def sink_blend(flag):
+                def s(g, cwu):
+                    codes_ref[0, g, 0] = jnp.where(
+                        flag, cwu, codes_ref[0, g, 0]
+                    )
+
+                return s
+
+            def sink_scratch(g, cwu):
+                spec_ref[g] = cwu
+
+            # slot 0: baseline measure (X, cur) || warm_1 (Y, prev)
+            def slot0(prev_ref):
+                sti = stack2_st(
+                    seed(st, cur_h_ref), seed(st, prev_h_ref)
+                )
+                return dual_groups(
+                    sti, cur_w_ref, prev_ref, liveM, liveP, True, None
+                )
+
+            end0, min_sse = lax.cond(
+                b == 0,
+                lambda: slot0(prev0_w_ref),
+                lambda: slot0(prev_w_ref),
+            )
+            walker = sel_st(has_prev, upper_st(end0), st)
+            min_h, min_l = min_sse
+
+            ent_prev, shift_prev = round_seed(st)  # F_0 entry (baseline)
+            hdr_state, hdr_shift = ent_prev, shift_prev
+            carry_sel = None
+
+            for i in range(1, num_trials + 1):
+                cand = walker
+                ent_i, shift_i = round_seed(cand)
+                last = i == num_trials
+                # slot (M_i || F_{i-1})  [F_N rides here too, via scratch]
+                mseed = seed(walker, cur_h_ref, valid >= FILTER_ORDER)
+                if i == 1:
+                    sinkY, entY = sink_store, ent_prev
+                elif last:
+                    sinkY, entY = sink_scratch, ent_i
+                else:
+                    sinkY, entY = None, None  # M_i rides alone mid-search
+                if last and i > 1:
+                    # F_{N}: emit from cand_N into scratch alongside M_N
+                    pass
+                sti = stack2_st(mseed, entY if entY is not None else mseed)
+                endi, sse = dual_groups(
+                    sti, cur_w_ref, cur_w_ref, liveM, liveP, True,
+                    sinkY,
+                )
+                walker = sel_st(skip, cand, tuple(endi))
+                sse = (
+                    jnp.where(skip, 0, sse[0]),
+                    jnp.where(skip, 0, sse[1]),
+                )
+                better = sse_better(sse, (min_h, min_l))
+                min_h = jnp.where(better, sse[0], min_h)
+                min_l = jnp.where(better, sse[1], min_l)
+                hdr_state = sel_st(better, ent_i, hdr_state)
+                hdr_shift = jnp.where(better, shift_i, hdr_shift)
+                if i == 1:
+                    carry_sel = upper_st(endi)  # E_0
+                if last:
+                    if i == 1:
+                        # F_1 runs standalone, blending with better_1
+                        endf, _ = dual_groups(
+                            stack2_st(ent_i, ent_i), cur_w_ref, cur_w_ref,
+                            liveP, liveP, False, sink_blend(better),
+                        )
+                        carry_sel = sel_st(better, upper_st(endf), carry_sel)
+                    else:
+                        # F_N went to scratch in this slot; blend it in
+                        carry_sel = sel_st(better, upper_st(endi), carry_sel)
+                        better_last = better
+
+                        def blend(g, _):
+                            codes_ref[0, g, 0] = jnp.where(
+                                better_last, spec_ref[g], codes_ref[0, g, 0]
+                            )
+                            return 0
+
+                        lax.fori_loop(0, n_groups, blend, 0)
+                else:
+                    # slot (W_{i+1} || F_i): warm on prev + blend emit
+                    def wslot(prev_ref, _w=walker, _e=ent_i, _f=better):
+                        sti2 = stack2_st(seed(_w, prev_h_ref), _e)
+                        return dual_groups(
+                            sti2, prev_ref, cur_w_ref, liveP, liveP,
+                            False, sink_blend(_f),
+                        )
+
+                    endw, _ = lax.cond(
+                        b == 0,
+                        lambda: wslot(prev0_w_ref),
+                        lambda: wslot(prev_w_ref),
+                    )
+                    walker = sel_st(has_prev, tuple(endw), walker)
+                    carry_sel = sel_st(better, upper_st(endw), carry_sel)
+
+            for k in range(4):
+                hdr_ref[0, 0, k] = hdr_state[k]
+                hdr_ref[0, 0, 4 + k] = hdr_state[4 + k]
+            hdr_ref[0, 0, 8] = hdr_state[8]
+            hdr_ref[0, 0, 9] = hdr_shift
+            for k in range(9):
+                state[k] = carry_sel[k]
+            return
+
         if num_trials > 0 and not warm_on_prev:
             # Block-independent mode: every block is a stream head, so the
             # previous-block warm-up is statically dead — and trial 1's
@@ -657,6 +907,31 @@ def encode_stream_fused(
     return hdr, unflat(codes), (out_state, blocks[-1])
 
 
+def _use_pass_stack(
+    num_trials: int, warm_on_prev: bool, emit_state: bool, stream: bool,
+    r: int, n_tiles: int, num_lanes: int,
+) -> bool:
+    """Gate for the pass-stacked single-tile trial search (DESIGN §3).
+
+    True when the live lanes fit sublane rows 0-3 of ONE (8, 128) tile —
+    the latency-bound single-stream regime — and the trial search warms
+    on the previous block, so independent passes can stack onto the dead
+    upper rows: the trials=N search runs in ~2N slot-passes instead of
+    2N+2 serial passes. AAD_TPU_ENCODE_STACK=0 disables (probing; read
+    at trace time — a jitted caller won't see a mid-process toggle).
+    """
+    return (
+        num_trials > 0
+        and warm_on_prev
+        and not emit_state
+        and not stream
+        and r == 1
+        and n_tiles == 1
+        and num_lanes <= SUBLANES // 2 * LANES
+        and os.environ.get("AAD_TPU_ENCODE_STACK") != "0"
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -684,6 +959,10 @@ def _fused_impl(
 
     Lp = -(-L // (R * TILE)) * (R * TILE)
     n_tiles = Lp // (R * TILE)   # grid groups of R interleaved lane tiles
+
+    pass_stack = _use_pass_stack(
+        num_trials, warm_on_prev, emit_state, stream, R, n_tiles, L
+    )
 
     def pack_lane_words(x, off):  # (b, L, nspb) -> (b, W2, n_tiles, R*8, 128)
         b_ = x.shape[0]
@@ -817,15 +1096,20 @@ def _fused_impl(
         out_shape.append(
             jax.ShapeDtypeStruct((B, n_tiles, 9, RS, LANES), jnp.int32)
         )
+    stack_scratch = (
+        [pltpu.VMEM((W2 // 4, RS, LANES), jnp.int32)] if pass_stack else []
+    )
     outs = pl.pallas_call(
         _make_kernel(bits_per_sample, corrections, num_trials, W2, T,
                      stream_chunk=chunk, r=R,
-                     warm_on_prev=warm_on_prev, emit_state=emit_state),
+                     warm_on_prev=warm_on_prev, emit_state=emit_state,
+                     pass_stack=pass_stack),
         grid=grid,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((9, RS, LANES), jnp.int32)]
+        + stack_scratch
         + stream_scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),

@@ -249,3 +249,43 @@ def test_encode_kernel_matches_scan(per_pass):
     np.testing.assert_array_equal(np.asarray(c_scan), np.asarray(c_pl))
     for a, b in zip(h_scan, h_pl):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("trials,bsize", [(2, 1024), (3, 320)])
+def test_encode_fused_pass_stack_matches_scan(trials, bsize):
+    """The pass-stacked single-tile trial search (interpret) == scan engine.
+
+    The bench workload's shape class: one stereo stream (2 live lanes in
+    one (8, 128) tile, R=1), warm-on-prev, ragged tail — exactly the
+    `_use_pass_stack` regime where independent passes ride the tile's
+    dead upper sublane rows (docs/DESIGN.md §3). Asserts the gate is
+    actually taken for this shape, then pins headers+codes byte-level
+    against the scan engine (selection semantics: last strict improvement,
+    reference trial loop src/aad_encoder.c:470-562). trials=2 covers the
+    scratch-emit final slot; trials=3 (legal — the reference takes a
+    uint8, src/aad_encoder.h:14) covers the mid-search slot where a
+    measure rides alone and the warm||blend pairing repeats.
+    """
+    from aad_tpu.ops.encode import encode_stream_blocks
+    from aad_tpu.ops.pallas_encode_fused import (
+        _pick_interleave,
+        _use_pass_stack,
+        encode_stream_fused,
+    )
+
+    geo = compute_block_geometry(bsize, 2, 4)
+    nspb = geo.num_samples_per_block
+    B, nch = 3, 2
+    assert _pick_interleave(nch) == 1
+    assert _use_pass_stack(trials, True, False, False, 1, 1, nch)
+
+    rng = np.random.default_rng(42)
+    sig = rng.integers(-32768, 32768, B * nch * nspb).astype(np.int32)
+    blocks = jnp.asarray(sig.reshape(B, nch, nspb))
+    valid = jnp.asarray([nspb, nspb, nspb - 37], dtype=jnp.int32)
+
+    h_s, c_s = encode_stream_blocks(blocks, valid, 4, trials, engine="scan")
+    h_f, c_f, _ = encode_stream_fused(blocks, valid, 4, trials)
+    np.testing.assert_array_equal(np.asarray(c_s), np.asarray(c_f))
+    for a, b in zip(h_s, h_f):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
