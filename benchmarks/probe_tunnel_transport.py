@@ -1,0 +1,107 @@
+"""Attribute the one-shot device decode metric to tunnel transport.
+
+``decode_e2e_device`` (bench.py) measures bytes-in -> device decode ->
+int16-out for a single one-shot stream and reads ~0.24x the C reference
+through this harness's tunnel-attached TPU; BASELINE.md attributes the gap
+to host<->device transport rather than decode compute (the device-resident
+loop decodes the same stream in ~1 ms). This probe backs that attribution
+with a direct measurement on the same workload (bench.py's 10-minute
+stereo 48 kHz stream):
+
+* ``pipeline``  — the shipped ``Decoder.decode_payload_ondevice`` wall
+  time (payload upload + fused decode + sample download + host views).
+* ``transport`` — the *same byte volumes* moved through the same tunnel
+  with no codec compute: upload the identical payload array, run a jitted
+  single-op broadcast producing the identical (C, num_samples) int16
+  output buffer, fetch it to numpy. (The broadcast depends on the uploaded
+  words so XLA cannot constant-fold it; its arithmetic is one add over a
+  buffer the transfer itself must stream anyway.)
+
+``compute = pipeline - transport`` is then the decode pipeline's true
+marginal cost over pure data motion; on a locally-attached chip the
+transport term is the PCIe/HBM copy the reference's RAM-to-RAM decode
+never pays, and the fraction printed here is what shrinks.
+
+Usage: python benchmarks/probe_tunnel_transport.py [iters]
+Prints one JSON line.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _best(fn, iters):
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import build_synthetic_stream
+    from aad_tpu import FILE_HEADER_SIZE, decode_header
+    from aad_tpu.codec.decoder import Decoder
+
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    RATE, SECONDS = 48000, 600
+    data, _ = build_synthetic_stream(RATE * SECONDS)
+    header = decode_header(data[:FILE_HEADER_SIZE])
+    dec = Decoder.from_header(header)
+    payload = np.frombuffer(data, dtype=np.uint8)[FILE_HEADER_SIZE:]
+    C, N = header.num_channels, header.num_samples
+    samples = C * N
+
+    # --- shipped pipeline (bytes -> device decode -> int16 host view) ---
+    out = dec.decode_payload_ondevice(payload)  # warm/compile
+    assert out.shape == (C, N) and out.dtype == np.int16
+
+    def pipeline():
+        o = dec.decode_payload_ondevice(payload)
+        _ = o[0, -1], o[-1, 0]
+
+    t_pipe = _best(pipeline, iters)
+
+    # --- transport-only: identical upload + identical download shape ---
+    words = payload[: payload.size & ~3].view("<u4")
+
+    @jax.jit
+    def touch(w):
+        # One broadcast add over the output buffer: depends on the upload
+        # (no constant folding), negligible arithmetic vs the transfers.
+        return jnp.zeros((C, N), jnp.int16) + w[0].astype(jnp.int16)
+
+    np.asarray(touch(jax.device_put(words)))  # warm/compile
+
+    def transport():
+        w = jax.device_put(words)
+        o = np.asarray(touch(w))
+        _ = o[0, -1], o[-1, 0]
+
+    t_net = _best(transport, iters)
+
+    print(json.dumps({
+        "workload": f"{SECONDS}s stereo {RATE} Hz ({samples} samples)",
+        "upload_mb": round(words.nbytes / 1e6, 1),
+        "download_mb": round(samples * 2 / 1e6, 1),
+        "pipeline_ms": round(t_pipe * 1e3, 1),
+        "transport_only_ms": round(t_net * 1e3, 1),
+        "compute_ms": round((t_pipe - t_net) * 1e3, 1),
+        "transport_fraction": round(t_net / t_pipe, 3),
+        "pipeline_samples_per_sec": round(samples / t_pipe),
+        "device": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

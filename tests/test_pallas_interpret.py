@@ -251,8 +251,11 @@ def test_encode_kernel_matches_scan(per_pass):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-@pytest.mark.parametrize("trials,bsize", [(2, 1024), (3, 320)])
-def test_encode_fused_pass_stack_matches_scan(trials, bsize):
+@pytest.mark.parametrize(
+    "trials,bsize,bps",
+    [(2, 1024, 4), (3, 320, 4), (2, 96, 2), (1, 128, 3)],
+)
+def test_encode_fused_pass_stack_matches_scan(trials, bsize, bps):
     """The pass-stacked single-tile trial search (interpret) == scan engine.
 
     The bench workload's shape class: one stereo stream (2 live lanes in
@@ -264,7 +267,10 @@ def test_encode_fused_pass_stack_matches_scan(trials, bsize):
     reference trial loop src/aad_encoder.c:470-562). trials=2 covers the
     scratch-emit final slot; trials=3 (legal — the reference takes a
     uint8, src/aad_encoder.h:14) covers the mid-search slot where a
-    measure rides alone and the warm||blend pairing repeats.
+    measure rides alone and the warm||blend pairing repeats; the bps=2
+    and bps=3 cells cover the stacked emits' other code widths (packing
+    shifts / qdiff masks) on CPU — the TPU hardware suite covers them on
+    the real chip (test_encode_engine_tpu.py::TestFusedEncodeKernel).
     """
     from aad_tpu.ops.encode import encode_stream_blocks
     from aad_tpu.ops.pallas_encode_fused import (
@@ -273,7 +279,7 @@ def test_encode_fused_pass_stack_matches_scan(trials, bsize):
         encode_stream_fused,
     )
 
-    geo = compute_block_geometry(bsize, 2, 4)
+    geo = compute_block_geometry(bsize, 2, bps)
     nspb = geo.num_samples_per_block
     B, nch = 3, 2
     assert _pick_interleave(nch) == 1
@@ -284,8 +290,8 @@ def test_encode_fused_pass_stack_matches_scan(trials, bsize):
     blocks = jnp.asarray(sig.reshape(B, nch, nspb))
     valid = jnp.asarray([nspb, nspb, nspb - 37], dtype=jnp.int32)
 
-    h_s, c_s = encode_stream_blocks(blocks, valid, 4, trials, engine="scan")
-    h_f, c_f, _ = encode_stream_fused(blocks, valid, 4, trials)
+    h_s, c_s = encode_stream_blocks(blocks, valid, bps, trials, engine="scan")
+    h_f, c_f, _ = encode_stream_fused(blocks, valid, bps, trials)
     np.testing.assert_array_equal(np.asarray(c_s), np.asarray(c_f))
     for a, b in zip(h_s, h_f):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
