@@ -103,25 +103,32 @@ def decode_batch(
         if engine == "fused":
             lane_mult = max(1, 1024 // nch)
             B_pad = -(-B_pad // lane_mult) * lane_mult
-        hdr_w = np.zeros((B_pad, hdr_rows[0].shape[1]), dtype=np.uint32)
-        hdr_w[:B_real] = np.concatenate(hdr_rows, axis=0)
-        data_w = np.zeros(
-            (B_pad, *data_rows[0].shape[1:]), dtype=np.uint32
-        )
-        data_w[:B_real] = np.concatenate(data_rows, axis=0)
+        # Ship only the real blocks' words; bucket padding materialises on
+        # device and is dropped again before download (decoder._pad_blocks /
+        # _trim_lanes) — no padded bytes cross the link in either direction.
+        from .decoder import _pad_blocks, _to_host_flat, _trim_lanes
+
+        hdr_j = jnp.asarray(np.concatenate(hdr_rows, axis=0))
+        data_j = jnp.asarray(np.concatenate(data_rows, axis=0))
+        if B_pad > B_real:
+            hdr_j, data_j = _pad_blocks(hdr_j, data_j, nb_padded=B_pad)
 
         lanes = _device_pipeline_words_jit(
-            jnp.asarray(hdr_w),
-            jnp.asarray(data_w),
+            hdr_j,
+            data_j,
             geo=geo,
             num_blocks=B_pad,
             bits_per_sample=bps,
             ms=ms,
             engine=engine,
         )
-        from .decoder import _to_host_flat
-
-        full = _to_host_flat(lanes).reshape(nch, B_pad * nspb)
+        if B_pad > B_real:
+            # Drop the bucket-padding blocks on device: the host transfer is
+            # the batch path's tail cost and the padding is up to ~30% of it.
+            lanes = _trim_lanes(
+                lanes, channels=nch, nb_padded=B_pad, nb=B_real
+            )
+        full = _to_host_flat(lanes).reshape(nch, B_real * nspb)
 
         for i, (off, nb) in zip(idxs, spans):
             h = parsed[i][0]

@@ -248,6 +248,40 @@ _device_pipeline_words_jit = jax.jit(
 _linearize_jit = jax.jit(lambda x: x.reshape(-1))
 
 
+@functools.partial(jax.jit, static_argnames=("nb_padded",))
+def _pad_blocks(hdr_w, data_w, *, nb_padded: int):
+    """Zero-pad the wire-word block rows to the bucketed count on device.
+
+    The upload-side mirror of :func:`_trim_lanes`: the host ships only the
+    real blocks' words and the bucket padding (zero rows, decoded to garbage
+    that the trim drops) materialises on device — on a transfer-bound link
+    the padding's bytes are the cost, not its decode work.
+    """
+    def pad0(x):
+        spec = [(0, nb_padded - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, spec)
+
+    return pad0(hdr_w), pad0(data_w)
+
+
+@functools.partial(jax.jit, static_argnames=("channels", "nb_padded", "nb"))
+def _trim_lanes(lanes, *, channels: int, nb_padded: int, nb: int):
+    """Drop bucket-padding blocks on device before the host transfer.
+
+    The pipeline output is lane-major with each channel's padded block run
+    contiguous ((C, nb_padded, per-block elements) once reshaped), so the
+    real blocks are a static leading slice per channel. Downloading the
+    padded buffer costs real wall time on a transfer-bound link (~26% extra
+    bytes at the worst bucket step — measured 151 MB vs 115 MB needed on the
+    bench workload, benchmarks/probe_tunnel_transport.py), while this slice
+    is a sub-millisecond HBM copy. A tiny per-length slice kernel compile is
+    the price; the heavy decode pipeline itself stays on O(log) bucketed
+    shapes.
+    """
+    per = lanes.size // (channels * nb_padded)
+    return lanes.reshape(channels, nb_padded, per)[:, :nb].reshape(-1)
+
+
 def _to_host_flat(lanes) -> np.ndarray:
     """Device pipeline output (1-D or 2-D packed) -> flat host int16 view."""
     if getattr(lanes, "ndim", 1) == 2:
@@ -386,16 +420,29 @@ class Decoder:
                 tiles = nb_padded // lane_mult
                 if tiles % 2 and tiles % 3:
                     nb_padded = (tiles + 1) * lane_mult
-            hdr_w, data_w = payload_to_words_split(payload, geo, nb_padded)
+            # Ship only the real blocks' words; bucket padding materialises
+            # on device (_pad_blocks) and is dropped again before download
+            # (_trim_lanes) — zero padded bytes cross the link either way.
+            hdr_w, data_w = payload_to_words_split(payload, geo, nblocks)
+            hdr_j, data_j = jnp.asarray(hdr_w), jnp.asarray(data_w)
+            if nb_padded > nblocks:
+                hdr_j, data_j = _pad_blocks(hdr_j, data_j, nb_padded=nb_padded)
             lanes = _device_pipeline_words_jit(
-                jnp.asarray(hdr_w),
-                jnp.asarray(data_w),
+                hdr_j,
+                data_j,
                 geo=geo,
                 num_blocks=nb_padded,
                 bits_per_sample=h.bits_per_sample,
                 ms=h.ch_process_method == CH_PROCESS_MS,
                 engine=self.engine,
             )
+            if nb_padded > nblocks:
+                lanes = _trim_lanes(
+                    lanes,
+                    channels=h.num_channels,
+                    nb_padded=nb_padded,
+                    nb=nblocks,
+                )
             # Lane-major -> (C, num_samples): a free host view (device-side
             # channel re-tiling is pathological, see _device_pipeline_words).
             # Packed uint32 sample-pair rows are byte-identical int16 rows.

@@ -35,12 +35,20 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _best(fn, iters):
-    best = float("inf")
+def _best_interleaved(fns, iters):
+    """Best-of-N per fn with the fns alternated per round.
+
+    The tunnel's throughput drifts by up to ~2x over minutes; measuring the
+    pipeline and the transport baseline in separate sequential phases lets
+    the drift masquerade as compute. Alternating them inside each round
+    exposes both to the same link conditions.
+    """
+    best = [float("inf")] * len(fns)
     for _ in range(iters):
-        t0 = time.time()
-        fn()
-        best = min(best, time.time() - t0)
+        for i, fn in enumerate(fns):
+            t0 = time.time()
+            fn()
+            best[i] = min(best[i], time.time() - t0)
     return best
 
 
@@ -70,8 +78,6 @@ def main():
         o = dec.decode_payload_ondevice(payload)
         _ = o[0, -1], o[-1, 0]
 
-    t_pipe = _best(pipeline, iters)
-
     # --- transport-only: identical upload + identical download shape ---
     words = payload[: payload.size & ~3].view("<u4")
 
@@ -88,7 +94,7 @@ def main():
         o = np.asarray(touch(w))
         _ = o[0, -1], o[-1, 0]
 
-    t_net = _best(transport, iters)
+    t_pipe, t_net = _best_interleaved([pipeline, transport], iters)
 
     print(json.dumps({
         "workload": f"{SECONDS}s stereo {RATE} Hz ({samples} samples)",

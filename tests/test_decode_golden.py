@@ -118,6 +118,39 @@ def test_ondevice_bucketed_decode(fixture_dir):
         assert _bucket_blocks(n) >= n
 
 
+@pytest.mark.parametrize("nch,ms", [(2, False), (2, True), (1, False)])
+def test_ondevice_trim_matches_unbucketed(nch, ms):
+    """The device-side padding trim (decoder._trim_lanes) is invisible.
+
+    Bucketed decode downloads only the real blocks (the padded tail is
+    sliced off on device before the host transfer); the result must equal
+    the unbucketed decode bit-for-bit. Block counts chosen to force real
+    padding (21 -> 26, 14 -> 16) so the trim path actually runs, for
+    stereo, stereo-MS (post-recombination ordering) and mono.
+    """
+    from aad_tpu import FILE_HEADER_SIZE, Decoder, EncodeConfig, decode_header, encode
+    from aad_tpu.codec.decoder import _bucket_blocks
+    from aad_tpu.format.geometry import num_blocks_for
+
+    rng = np.random.default_rng(11)
+    n = 20000 if nch == 2 else 28000
+    pcm = rng.integers(-20000, 20000, (nch, n)).astype(np.int32)
+    cfg = EncodeConfig(
+        num_channels=nch,
+        sampling_rate=44100,
+        ch_process_method=1 if ms else 0,
+    )
+    blob = bytes(encode(pcm, cfg, engine="scan"))
+    h = decode_header(blob[:FILE_HEADER_SIZE])
+    nb = num_blocks_for(h.num_samples, h.num_samples_per_block)
+    assert _bucket_blocks(nb) > nb  # padding (and so the trim) is active
+    dec = Decoder.from_header(h, engine="scan")
+    payload = np.frombuffer(blob, np.uint8)[FILE_HEADER_SIZE:]
+    a = np.asarray(dec.decode_payload_ondevice(payload, bucket=True))
+    b = np.asarray(dec.decode_payload_ondevice(payload, bucket=False))
+    np.testing.assert_array_equal(a, b)
+
+
 class TestTruncationJaxEngines:
     """Mid-stream cuts must raise typed errors on every decode path — never
     silently return a garbage tail. Stricter than the reference, which
