@@ -10,18 +10,24 @@ transitivity), and every ``FUSED_EVERY``-th seed additionally decodes
 through the fused engine (Pallas interpret on CPU — slow, so sparse). The
 final line reports per-engine seed counts.
 
-Usage: python tools/soak_fuzz.py [num_seeds]
+Usage: python tools/soak_fuzz.py [num_seeds] [--record PATH]
+
+``--record`` writes a JSON artifact ({seeds, divergences, per-engine seed
+counts, seconds}) so a round's soak run is auditable from the repo, not
+just from the progress log.
 
 Exit 0 iff every compared byte/sample matches the reference binary
 (reference: src/aad_encoder.c:85-131 interleave geometry,
 src/aad_encoder.c:470-562 trial search, src/aad_decoder.c:394-455 block
 data walk). Seed space (50_000+) is disjoint from the suite's (1000+).
 """
+import json
 import os
 import shutil
 import subprocess
 import sys
 import tempfile
+import time
 from pathlib import Path
 
 _REPO = Path(__file__).resolve().parent.parent
@@ -47,7 +53,8 @@ JAX_EVERY = 8
 FUSED_EVERY = 64
 
 
-def main(n_seeds: int = 400) -> int:
+def main(n_seeds: int = 400, record: str | None = None) -> int:
+    t_start = time.time()
     if not REFERENCE_DIR.is_dir() or shutil.which("gcc") is None:
         print("reference sources or gcc unavailable; nothing to soak against")
         return 2
@@ -150,8 +157,22 @@ def main(n_seeds: int = 400) -> int:
         f"fused={counts['fused']} (scan/fused compared DIRECTLY against the "
         f"reference binary)"
     )
+    if record:
+        Path(record).write_text(json.dumps({
+            "seeds": n_seeds,
+            "divergences": bad,
+            "engine_seeds": counts,
+            "seconds": round(time.time() - t_start, 1),
+            "ok": bad == 0,
+        }, indent=1) + "\n")
     return 1 if bad else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 400))
+    argv = sys.argv[1:]
+    rec = None
+    if "--record" in argv:
+        i = argv.index("--record")
+        rec = argv[i + 1]
+        del argv[i : i + 2]
+    sys.exit(main(int(argv[0]) if argv else 400, record=rec))
