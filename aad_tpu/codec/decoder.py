@@ -203,6 +203,20 @@ def _device_pipeline_words(
     return samples.reshape(-1)  # flat: unique layout, free host view
 
 
+def _overlap_chunk_blocks(geo: BlockGeometry) -> int:
+    """Default chunk size for the transfer-overlap decode pipeline.
+
+    Two (8, 128) lane tiles per chunk (C * chunk = 2048 lanes): whole
+    tiles keep the fused kernel's lane interleave at r=2
+    (benchmarks/probe_tile_counts.py), the per-chunk download lands in the
+    ~16 MB band the overlap probe showed pipelining well at 4-8 chunks on
+    the bench workload, and a FIXED chunk size means every file length
+    shares one compiled chunk pipeline (the whole-stream path needs O(log)
+    bucketed compiles instead).
+    """
+    return 2 * max(1, 1024 // geo.num_channels)
+
+
 def _bucket_blocks(n: int) -> int:
     """Round a block count up to a geometric bucket (~1.3x steps).
 
@@ -228,6 +242,49 @@ _device_pipeline_jit = jax.jit(
         "engine",
     ),
 )
+
+def _pipeline_chunk(
+    hdr_words,
+    data_words,
+    *,
+    geo: BlockGeometry,
+    num_blocks: int,
+    bits_per_sample: int,
+    ms: bool,
+    engine: str,
+):
+    """One overlap-pipeline chunk = one device dispatch, flat output.
+
+    Identical to :func:`_device_pipeline_words` plus the in-jit
+    linearisation of the fused engine's 2-D packed output — the chunked
+    transfer-overlap path (``_decode_prefix_overlap``) wants exactly one
+    tunnel dispatch per chunk (each eager dispatch costs ~5-50 ms through
+    this harness's tunnel), and a flat buffer whose ``np.asarray`` is a
+    straight stream.
+    """
+    lanes = _device_pipeline_words(
+        hdr_words,
+        data_words,
+        geo=geo,
+        num_blocks=num_blocks,
+        bits_per_sample=bits_per_sample,
+        ms=ms,
+        engine=engine,
+    )
+    return lanes.reshape(-1) if getattr(lanes, "ndim", 1) == 2 else lanes
+
+
+_pipeline_chunk_jit = jax.jit(
+    _pipeline_chunk,
+    static_argnames=(
+        "geo",
+        "num_blocks",
+        "bits_per_sample",
+        "ms",
+        "engine",
+    ),
+)
+
 
 _device_pipeline_words_jit = jax.jit(
     _device_pipeline_words,
@@ -342,7 +399,11 @@ class Decoder:
         return self.decode_framed(self.frame(payload))
 
     def decode_payload_ondevice(
-        self, payload, bucket: bool = True, strict: bool = True
+        self,
+        payload,
+        bucket: bool = True,
+        strict: bool = True,
+        overlap_blocks: int | None = None,
     ):
         """Fully fused on-device decode (bitstream parsing included).
 
@@ -367,6 +428,17 @@ class Decoder:
         returned as zero samples (where the reference emits uninitialised
         memory). The default is strict: a mid-stream cut raises
         InsufficientDataError, never silent data loss.
+
+        ``overlap_blocks`` controls the chunked transfer-overlap pipeline
+        (block independence: reference src/aad_decoder.c:363-380 — any
+        block range decodes standalone). ``None`` (default) auto-enables it
+        for streams longer than one chunk; ``0`` forces the single-dispatch
+        whole-stream path; an explicit block count sets the chunk size.
+        On a transfer-bound link (this harness's tunneled TPU) the chunked
+        schedule moves the same bytes ~2.3x faster than the serial
+        upload -> decode -> download (benchmarks/probe_transfer_overlap.py:
+        per-chunk downloads stream concurrently with later chunks' uploads
+        and compute via ``copy_to_host_async``). Output is bit-identical.
         """
         from ..format.geometry import encoded_stream_size, num_blocks_for
         from .result import InsufficientDataError
@@ -391,13 +463,20 @@ class Decoder:
             out = np.zeros((h.num_channels, h.num_samples), dtype=np.int16)
             if nb_avail:
                 out[:, :decoded_n] = self._decode_prefix(
-                    payload, nb_avail, decoded_n, bucket
+                    payload, nb_avail, decoded_n, bucket, overlap_blocks
                 )
             return out
-        return self._decode_prefix(payload, nblocks, h.num_samples, bucket)
+        return self._decode_prefix(
+            payload, nblocks, h.num_samples, bucket, overlap_blocks
+        )
 
     def _decode_prefix(
-        self, payload: np.ndarray, nblocks: int, num_samples: int, bucket: bool
+        self,
+        payload: np.ndarray,
+        nblocks: int,
+        num_samples: int,
+        bucket: bool,
+        overlap_blocks: int | None = None,
     ):
         """Decode the first ``nblocks`` blocks to (C, num_samples) int16."""
         from ..ops.wire32 import payload_to_words_split, supports_wire32
@@ -406,6 +485,21 @@ class Decoder:
         geo = self.geometry
         nb_padded = _bucket_blocks(nblocks) if bucket else nblocks
         if supports_wire32(geo):
+            cb = (
+                _overlap_chunk_blocks(geo)
+                if overlap_blocks is None
+                else overlap_blocks
+            )
+            if cb and self.engine == "fused":
+                # The time-major kernel wants whole (8, 128) lane tiles per
+                # dispatch; round a caller-chosen chunk up to the multiple
+                # (the default from _overlap_chunk_blocks already is one).
+                lane_mult = max(1, 1024 // geo.num_channels)
+                cb = -(-cb // lane_mult) * lane_mult
+            if cb and nblocks > cb:
+                return self._decode_prefix_overlap(
+                    payload, nblocks, num_samples, cb
+                )
             if self.engine == "fused":
                 # The time-major kernel entry wants C*B to be a whole number
                 # of (8, 128) lane tiles; padding blocks decode garbage that
@@ -462,6 +556,74 @@ class Decoder:
             engine=self.engine,
         )
         return np.asarray(full[:, :num_samples]).astype(np.int16)
+
+    def _decode_prefix_overlap(
+        self, payload: np.ndarray, nblocks: int, num_samples: int,
+        chunk_blocks: int,
+    ) -> np.ndarray:
+        """Chunked transfer-overlap decode of the first ``nblocks`` blocks.
+
+        Dispatch phase: per chunk of ``chunk_blocks`` blocks, upload the
+        real wire words, run one fused device dispatch
+        (:func:`_pipeline_chunk`), and start the download immediately
+        (``copy_to_host_async``) — so chunk i's samples stream back while
+        chunk i+1 uploads and decodes. Collect phase: paste each chunk's
+        lane-major rows into the output columns (blocks are self-contained,
+        reference src/aad_decoder.c:363-380, so chunk boundaries are free).
+
+        Every chunk shares ONE compiled pipeline for every file length: the
+        chunk shape is fixed and the ragged tail chunk is zero-row padded
+        host-side (payload bytes were never shipped for the pad rows'
+        payload — only empty word rows, <=2 MB once per stream — and the
+        garbage they decode is sliced off in the paste).
+        """
+        from ..ops.wire32 import payload_to_words_split
+
+        h = self.header
+        geo = self.geometry
+        C = h.num_channels
+        nspb = h.num_samples_per_block
+        bs = geo.block_size
+        ms = h.ch_process_method == CH_PROCESS_MS
+        n_chunks = -(-nblocks // chunk_blocks)
+        outs = []
+        for i in range(n_chunks):
+            b0 = i * chunk_blocks
+            real = min(chunk_blocks, nblocks - b0)
+            sl = payload[b0 * bs : (b0 + real) * bs]
+            hdr_w, data_w = payload_to_words_split(sl, geo, real)
+            if real < chunk_blocks:
+                pad = chunk_blocks - real
+                hdr_w = np.concatenate(
+                    [hdr_w, np.zeros((pad,) + hdr_w.shape[1:], hdr_w.dtype)]
+                )
+                data_w = np.concatenate(
+                    [data_w, np.zeros((pad,) + data_w.shape[1:], data_w.dtype)]
+                )
+            o = _pipeline_chunk_jit(
+                jnp.asarray(hdr_w),
+                jnp.asarray(data_w),
+                geo=geo,
+                num_blocks=chunk_blocks,
+                bits_per_sample=h.bits_per_sample,
+                ms=ms,
+                engine=self.engine,
+            )
+            copy_async = getattr(o, "copy_to_host_async", None)
+            if copy_async is not None:
+                copy_async()
+            outs.append((o, b0, real))
+        out = np.zeros((C, num_samples), dtype=np.int16)
+        for o, b0, real in outs:
+            arr = np.asarray(o)
+            if arr.dtype == np.uint32:
+                arr = arr.view("<i2")
+            arr = arr.reshape(C, -1)[:, : real * nspb]
+            c0 = b0 * nspb
+            w = min(arr.shape[1], num_samples - c0)
+            if w > 0:
+                out[:, c0 : c0 + w] = arr[:, :w]
+        return out
 
     def decode_time_range(
         self, payload: np.ndarray, start_seconds: float, end_seconds: float

@@ -528,10 +528,12 @@ def measure_decode_e2e_device(data: bytes, header):
     ``Decoder.decode_payload_ondevice``: host wire-word view, payload
     upload, the fused device pipeline, sample download and the host int16
     view — what a caller pinning the TPU path pays per one-shot stream,
-    unlike the headline metric's device-resident loop. (Through this
-    harness's TPU tunnel the transfers dominate; the ``auto`` policy
-    routes one-shot decodes natively for exactly that reason.) Returns
-    samples/s; 0 on failure.
+    unlike the headline metric's device-resident loop. Since round 4 this
+    auto-takes the chunked transfer-overlap schedule (chunk i's download
+    streams while chunk i+1 uploads and decodes — ~1.6-1.9x on this link,
+    docs/DESIGN.md §2b). (Through this harness's TPU tunnel the transfers
+    still dominate; the ``auto`` policy routes one-shot decodes natively
+    for exactly that reason.) Returns samples/s; 0 on failure.
     """
     try:
         from aad_tpu import FILE_HEADER_SIZE, decode_header

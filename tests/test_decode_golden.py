@@ -151,6 +151,73 @@ def test_ondevice_trim_matches_unbucketed(nch, ms):
     np.testing.assert_array_equal(a, b)
 
 
+class TestOverlapPipeline:
+    """The chunked transfer-overlap decode (Decoder._decode_prefix_overlap)
+    must be bit-identical to the whole-stream pipeline for every engine,
+    chunk size, ragged tail, and MS mode — block independence (reference:
+    src/aad_decoder.c:363-380) is what makes chunk boundaries free."""
+
+    @staticmethod
+    def _stream(nch, bps, ms, n, seed=7):
+        from aad_tpu import FILE_HEADER_SIZE, EncodeConfig, decode_header, encode
+
+        rng = np.random.default_rng(seed)
+        pcm = rng.integers(-20000, 20000, (nch, n)).astype(np.int32)
+        cfg = EncodeConfig(
+            num_channels=nch,
+            sampling_rate=44100,
+            bits_per_sample=bps,
+            max_block_size=128,
+            ch_process_method=1 if ms else 0,
+            num_encode_trials=0,
+        )
+        blob = bytes(encode(pcm, cfg, engine="scan"))
+        h = decode_header(blob[:FILE_HEADER_SIZE])
+        payload = np.frombuffer(blob, np.uint8)[FILE_HEADER_SIZE:]
+        return h, payload
+
+    @pytest.mark.parametrize(
+        "nch,bps,ms", [(2, 4, False), (1, 3, False), (2, 2, True)]
+    )
+    def test_scan_overlap_matches_whole(self, nch, bps, ms):
+        from aad_tpu import Decoder
+
+        h, payload = self._stream(nch, bps, ms, 40000)
+        dec = Decoder.from_header(h, engine="scan")
+        whole = np.asarray(dec.decode_payload_ondevice(payload, overlap_blocks=0))
+        for cb in (7, 16, 64):  # ragged tails at every size
+            got = dec.decode_payload_ondevice(payload, overlap_blocks=cb)
+            assert got.dtype == np.int16
+            np.testing.assert_array_equal(whole, got)
+
+    def test_fused_overlap_matches_whole(self):
+        """Fused engine (interpret on CPU): chunk sizes round up to whole
+        lane tiles and the packed-u32 chunk rows reassemble bit-exactly."""
+        from aad_tpu import Decoder
+
+        h, payload = self._stream(2, 4, False, 67000)  # ~698 blocks > 512
+        dec = Decoder.from_header(h, engine="fused")
+        whole = np.asarray(dec.decode_payload_ondevice(payload, overlap_blocks=0))
+        got = dec.decode_payload_ondevice(payload, overlap_blocks=512)
+        np.testing.assert_array_equal(whole, got)
+        # a misaligned request rounds up to the lane multiple, not an error
+        got = dec.decode_payload_ondevice(payload, overlap_blocks=500)
+        np.testing.assert_array_equal(whole, got)
+
+    def test_lenient_overlap_matches_whole(self):
+        """strict=False truncated decode through the overlap path."""
+        from aad_tpu import Decoder
+
+        h, payload = self._stream(2, 4, False, 40000)
+        dec = Decoder.from_header(h, engine="scan")
+        cut = payload[: payload.shape[0] - 3 * h.block_size - 5]
+        whole = np.asarray(
+            dec.decode_payload_ondevice(cut, strict=False, overlap_blocks=0)
+        )
+        got = dec.decode_payload_ondevice(cut, strict=False, overlap_blocks=16)
+        np.testing.assert_array_equal(whole, got)
+
+
 class TestTruncationJaxEngines:
     """Mid-stream cuts must raise typed errors on every decode path — never
     silently return a garbage tail. Stricter than the reference, which
