@@ -118,3 +118,33 @@ def test_scale_smoke():
     pcm = np.asarray(dec.decode_payload_ondevice(payload))
     assert pcm.shape == (2, header.num_samples)
     assert pcm.min() >= -32768 and pcm.max() <= 32767
+
+
+@requires_tpu
+def test_overlap_pipeline_bit_exact_on_hardware():
+    """The chunked transfer-overlap schedule (docs/DESIGN.md §2b) must be
+    bit-identical to the single-dispatch whole-stream path on real hardware,
+    where copy_to_host_async actually streams through the tunnel (the CPU
+    suite pins the same property in interpret mode:
+    tests/test_decode_golden.py::TestOverlapPipeline). Block independence
+    is what makes chunk boundaries free (reference: src/aad_decoder.c:363-380).
+    """
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    import bench as B_mod
+    from aad_tpu import FILE_HEADER_SIZE, decode_header
+    from aad_tpu.codec.decoder import Decoder
+
+    data, _ = B_mod.build_synthetic_stream(48000 * 40)
+    header = decode_header(data)
+    dec = Decoder.from_header(header, engine="fused")
+    payload = np.frombuffer(data, dtype=np.uint8)[FILE_HEADER_SIZE:]
+    whole = np.asarray(dec.decode_payload_ondevice(payload, overlap_blocks=0))
+    auto = np.asarray(dec.decode_payload_ondevice(payload))
+    np.testing.assert_array_equal(whole, auto)
+    ragged = np.asarray(
+        dec.decode_payload_ondevice(payload, overlap_blocks=512)
+    )
+    np.testing.assert_array_equal(whole, ragged)
