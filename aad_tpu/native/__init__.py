@@ -87,14 +87,25 @@ def _load() -> "ctypes.CDLL | None":
             return _lib
         if _build_failed:
             return None
-        src_mtime = max(
-            (p.stat().st_mtime for p in (_DIR / "aadx.cc", _DIR / "aadx.h")),
-        )
-        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < src_mtime:
-            if not _build():
+        # AAD_TPU_NATIVE_LIB points at a prebuilt libaadx (e.g. a sanitizer
+        # build from tools/run_sanitizer_fuzz.py, or a deployment artifact);
+        # it bypasses the in-tree build entirely and failure is final.
+        override = os.environ.get("AAD_TPU_NATIVE_LIB")
+        if override:
+            lib_path = pathlib.Path(override)
+            if not lib_path.exists():
                 _build_failed = True
                 return None
-        lib = ctypes.CDLL(str(_LIB_PATH))
+        else:
+            lib_path = _LIB_PATH
+            src_mtime = max(
+                (p.stat().st_mtime for p in (_DIR / "aadx.cc", _DIR / "aadx.h")),
+            )
+            if not lib_path.exists() or lib_path.stat().st_mtime < src_mtime:
+                if not _build():
+                    _build_failed = True
+                    return None
+        lib = ctypes.CDLL(str(lib_path))
         lib.aadx_parse_header.restype = ctypes.c_int
         lib.aadx_decode.restype = ctypes.c_int
         lib.aadx_encode.restype = ctypes.c_int

@@ -194,6 +194,66 @@ class TestTruncationRobustness:
         assert pcm.shape == (2, 3000)
 
 
+class TestMutationFuzz:
+    """Adversarial payload mutations: native and scan must agree byte-for-byte.
+
+    TestFuzz covers *well-framed* garbage (step indices clamped in range);
+    this class removes that constraint — random bit flips, span rewrites and
+    zeroed spans anywhere past the file header (header-field corruption has
+    its own offset matrix in test_format.py, and keeping the geometry fixed
+    means the scan engine compiles once). On every mutated stream the two
+    independent implementations must take the same branch: both decode to
+    identical samples, or both raise a codec error (the reference only
+    guards these reads with DEBUG asserts — src/aad_decoder.c:394-455)."""
+
+    @pytest.fixture(scope="class")
+    def stream(self):
+        pcm = noise(1500, 2, seed=31)
+        cfg = EncodeConfig(num_channels=2, sampling_rate=8000,
+                           max_block_size=96)
+        return native.encode(pcm, cfg)
+
+    @pytest.mark.parametrize("seed", range(24))
+    def test_native_scan_agree(self, stream, seed):
+        from aad_tpu.codec.result import AadError
+        from aad_tpu.constants import FILE_HEADER_SIZE
+
+        rng = np.random.default_rng(7000 + seed)
+        buf = bytearray(stream)
+        kind = seed % 3
+        if kind == 0:  # flip random payload bits
+            for _ in range(int(rng.integers(1, 17))):
+                i = int(rng.integers(FILE_HEADER_SIZE, len(buf)))
+                buf[i] ^= 1 << int(rng.integers(0, 8))
+        elif kind == 1:  # rewrite a random payload span
+            a = int(rng.integers(FILE_HEADER_SIZE, len(buf)))
+            b = min(len(buf), a + int(rng.integers(1, 48)))
+            buf[a:b] = rng.integers(0, 256, b - a, dtype=np.uint8).tobytes()
+        else:  # zero a random payload span
+            a = int(rng.integers(FILE_HEADER_SIZE, len(buf)))
+            b = min(len(buf), a + int(rng.integers(1, 96)))
+            buf[a:b] = bytes(b - a)
+        data = bytes(buf)
+
+        try:
+            _, out_native = native.decode(data)
+        except AadError:
+            out_native = None
+        try:
+            _, out_jax = jax_decode(data, engine="scan")
+        except AadError:
+            out_jax = None
+
+        if (out_native is None) != (out_jax is None):
+            pytest.fail(
+                f"accept/reject divergence: native "
+                f"{'rejected' if out_native is None else 'accepted'}, scan "
+                f"{'rejected' if out_jax is None else 'accepted'}"
+            )
+        if out_native is not None:
+            np.testing.assert_array_equal(out_native, np.asarray(out_jax))
+
+
 class TestGeometryFuzz:
     """Differential fuzz over random geometries (odd block sizes included),
     with the **reference binary as the oracle**.
