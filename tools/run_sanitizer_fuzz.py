@@ -14,6 +14,13 @@ tools/soak_fuzz.py pins conformance:
   under ``LD_PRELOAD=libasan.so`` with ``AAD_TPU_NATIVE_LIB`` pointing at
   the sanitizer build (the loader override in aad_tpu/native/__init__.py).
 
+* A second **ThreadSanitizer phase** rebuilds libaadx with
+  ``-fsanitize=thread`` and drives the threaded batch entry points
+  (encode_batch sequential + parallel-mode, decode_batch) over an
+  8-worker pool, asserting byte-identity with the single-threaded calls —
+  executable evidence for the "stateless per call, GIL-free thread pool"
+  concurrency claim (aad_tpu/native/__init__.py::encode_batch).
+
 * **Child** drives every exported entry point over random geometries —
   parse_header, decode, encode, encode_parallel (chunk/warm knobs),
   encode_chunk (streaming carry, asserting the concatenation reproduces
@@ -224,6 +231,43 @@ def _child(n_seeds: int, mutations: int, manifest_path: str) -> int:
     return 0
 
 
+def _tsan_child(n_seeds: int) -> int:
+    """Threaded batch calls under TSan: races abort, bytes must match."""
+    import numpy as np
+
+    from aad_tpu import native
+
+    assert os.environ.get("AAD_TPU_NATIVE_LIB") and native.available()
+    for seed in range(n_seeds):
+        rng, cfg, pcm, cb, wp = _seed_streams(seed)
+        streams = [pcm] + [
+            rng.integers(-32768, 32768, pcm.shape).astype(np.int32)
+            for _ in range(7)
+        ]
+        encs = native.encode_batch(streams, cfg, max_workers=8)
+        pencs = native.encode_batch(
+            streams, cfg, max_workers=8, parallel_blocks=True,
+            chunk_blocks=cb, warm_passes=wp,
+        )
+        if encs != [native.encode(s, cfg) for s in streams]:
+            print(f"TSAN-PHASE BYTE DIVERGENCE seed={seed} (sequential)")
+            return 1
+        if pencs != [
+            native.encode_parallel(s, cfg, chunk_blocks=cb, warm_passes=wp)
+            for s in streams
+        ]:
+            print(f"TSAN-PHASE BYTE DIVERGENCE seed={seed} (parallel)")
+            return 1
+        decs = native.decode_batch(encs, max_workers=8)
+        for s, (_, d) in zip(streams, decs):
+            if d.shape != s.shape:
+                print(f"TSAN-PHASE SHAPE MISMATCH seed={seed}")
+                return 1
+    print(json.dumps({"tsan_child": "done", "seeds": n_seeds,
+                      "streams_per_seed": 8}))
+    return 0
+
+
 def _parent(n_seeds: int, mutations: int, record: str | None) -> int:
     t0 = time.time()
     src = _REPO / "aad_tpu" / "native"
@@ -266,11 +310,41 @@ def _parent(n_seeds: int, mutations: int, record: str | None) -> int:
         env=env, timeout=3600,
     ).returncode
 
+    # phase 2: ThreadSanitizer over the threaded batch entry points
+    tsan_seeds = max(4, n_seeds // 8)
+    rc_tsan = 1
+    if rc == 0:
+        tsan_lib = tmp / "libaadx_tsan.so"
+        subprocess.run(
+            ["g++", "-std=c++17", "-O1", "-g", "-fPIC", "-fwrapv",
+             "-fsanitize=thread", "-shared", "-o", str(tsan_lib),
+             str(src / "aadx.cc")],
+            check=True, timeout=300,
+        )
+        libtsan = subprocess.run(
+            ["gcc", "-print-file-name=libtsan.so"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        tenv = dict(os.environ)
+        tenv.update(
+            LD_PRELOAD=libtsan,
+            AAD_TPU_NATIVE_LIB=str(tsan_lib),
+            AAD_TPU_PLATFORM="cpu",
+            TSAN_OPTIONS="halt_on_error=1",
+        )
+        rc_tsan = subprocess.run(
+            [sys.executable, __file__, "--tsan-child", str(tsan_seeds)],
+            env=tenv, timeout=3600,
+        ).returncode
+        rc = rc_tsan
+
     result = {
         "seeds": n_seeds,
         "mutation_streams": min(MUT_KEEP, n_seeds),
         "mutations_per_stream": mutations,
-        "sanitizers": "address,undefined (no-recover)",
+        "sanitizers": "address,undefined (no-recover) + thread",
+        "tsan_seeds": tsan_seeds,
+        "tsan_ok": rc_tsan == 0,
         "entry_points": [
             "parse_header", "decode", "encode", "encode_parallel",
             "encode_chunk", "decode_payload_blocks",
@@ -288,6 +362,8 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     if argv and argv[0] == "--child":
         sys.exit(_child(int(argv[1]), int(argv[2]), argv[3]))
+    if argv and argv[0] == "--tsan-child":
+        sys.exit(_tsan_child(int(argv[1])))
     rec = None
     if "--record" in argv:
         i = argv.index("--record")
