@@ -443,6 +443,10 @@ class Decoder:
         from ..format.geometry import encoded_stream_size, num_blocks_for
         from .result import InsufficientDataError
 
+        if overlap_blocks is not None and overlap_blocks < 0:
+            raise InvalidArgumentError(
+                f"overlap_blocks must be >= 0, got {overlap_blocks}"
+            )
         h = self.header
         geo = self.geometry
         payload = np.asarray(payload, dtype=np.uint8)
@@ -591,15 +595,9 @@ class Decoder:
             b0 = i * chunk_blocks
             real = min(chunk_blocks, nblocks - b0)
             sl = payload[b0 * bs : (b0 + real) * bs]
-            hdr_w, data_w = payload_to_words_split(sl, geo, real)
-            if real < chunk_blocks:
-                pad = chunk_blocks - real
-                hdr_w = np.concatenate(
-                    [hdr_w, np.zeros((pad,) + hdr_w.shape[1:], hdr_w.dtype)]
-                )
-                data_w = np.concatenate(
-                    [data_w, np.zeros((pad,) + data_w.shape[1:], data_w.dtype)]
-                )
+            # payload_to_words_split zero-fills rows past the slice, so the
+            # ragged tail chunk pads to the fixed chunk shape here.
+            hdr_w, data_w = payload_to_words_split(sl, geo, chunk_blocks)
             o = _pipeline_chunk_jit(
                 jnp.asarray(hdr_w),
                 jnp.asarray(data_w),

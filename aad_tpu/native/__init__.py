@@ -89,13 +89,16 @@ def _load() -> "ctypes.CDLL | None":
             return None
         # AAD_TPU_NATIVE_LIB points at a prebuilt libaadx (e.g. a sanitizer
         # build from tools/run_sanitizer_fuzz.py, or a deployment artifact);
-        # it bypasses the in-tree build entirely and failure is final.
+        # it bypasses the in-tree build entirely. A missing path is a loud
+        # error: an explicit operator override must never silently degrade
+        # to the (orders-of-magnitude slower on CPU hosts) JAX fallback.
         override = os.environ.get("AAD_TPU_NATIVE_LIB")
         if override:
             lib_path = pathlib.Path(override)
             if not lib_path.exists():
-                _build_failed = True
-                return None
+                raise FileNotFoundError(
+                    f"AAD_TPU_NATIVE_LIB={override!r} does not exist"
+                )
         else:
             lib_path = _LIB_PATH
             src_mtime = max(

@@ -36,7 +36,9 @@ import numpy as np
 C_DECODE_BASELINE = 25.4e6
 C_ENCODE_BASELINE = 6.3e6
 REF_BINARY = pathlib.Path(os.environ.get("AAD_REF_BINARY", "/tmp/refbuild/aad"))
-REF_SOURCES = pathlib.Path("/root/reference")
+REF_SOURCES = pathlib.Path(
+    os.environ.get("AAD_TPU_REFERENCE_DIR", "/root/reference")
+)
 
 SECONDS = int(os.environ.get("AAD_BENCH_SECONDS", "600"))
 RATE = 48000

@@ -28,7 +28,12 @@ if os.environ.get("AAD_TPU_TEST_PLATFORM", "cpu") == "cpu":
 
 import pytest  # noqa: E402
 
-REFERENCE_DIR = pathlib.Path("/root/reference")
+# The upstream AAD checkout serving as conformance oracle (fixtures +
+# buildable C sources). Overridable so CI can clone it anywhere
+# (github.com/aikiriao/AAD).
+REFERENCE_DIR = pathlib.Path(
+    os.environ.get("AAD_TPU_REFERENCE_DIR", "/root/reference")
+)
 FIXTURE_DIR = REFERENCE_DIR / "test"
 
 

@@ -204,6 +204,18 @@ class TestOverlapPipeline:
         got = dec.decode_payload_ondevice(payload, overlap_blocks=500)
         np.testing.assert_array_equal(whole, got)
 
+    def test_negative_overlap_blocks_raises(self):
+        """A negative chunk size must raise, not silently return zeros
+        (range(negative_chunk_count) is empty, so the dispatch loop would
+        never run and the zero-initialised buffer would be 'the decode')."""
+        from aad_tpu import Decoder
+        from aad_tpu.codec.result import InvalidArgumentError
+
+        h, payload = self._stream(2, 4, False, 40000)
+        dec = Decoder.from_header(h, engine="scan")
+        with pytest.raises(InvalidArgumentError):
+            dec.decode_payload_ondevice(payload, overlap_blocks=-7)
+
     def test_lenient_overlap_matches_whole(self):
         """strict=False truncated decode through the overlap path."""
         from aad_tpu import Decoder

@@ -6,6 +6,8 @@ independent implementations, so their agreement is strong evidence both
 match the format.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -192,6 +194,34 @@ class TestTruncationRobustness:
         data = self._stream() + b"\xff" * 64
         h, pcm = native.decode(data)
         assert pcm.shape == (2, 3000)
+
+
+class TestLibOverride:
+    """AAD_TPU_NATIVE_LIB pointing at a missing file must fail loudly —
+    an explicit operator override never silently degrades to the JAX
+    fallback. Subprocess: the loader's state is module-global."""
+
+    def test_missing_override_raises(self):
+        import subprocess
+        import sys
+
+        code = (
+            "from aad_tpu import native\n"
+            "try:\n"
+            "    native.available()\n"
+            "except FileNotFoundError as e:\n"
+            "    print('RAISED', e)\n"
+            "else:\n"
+            "    print('SILENT')\n"
+        )
+        env = dict(os.environ)
+        env["AAD_TPU_NATIVE_LIB"] = "/nonexistent/libaadx_typo.so"
+        env["AAD_TPU_PLATFORM"] = "cpu"
+        out = subprocess.run(
+            [sys.executable, "-c", code], env=env,
+            capture_output=True, text=True, timeout=120,
+        )
+        assert "RAISED" in out.stdout, out.stdout + out.stderr
 
 
 class TestMutationFuzz:

@@ -259,9 +259,10 @@ def _tsan_child(n_seeds: int) -> int:
             print(f"TSAN-PHASE BYTE DIVERGENCE seed={seed} (parallel)")
             return 1
         decs = native.decode_batch(encs, max_workers=8)
-        for s, (_, d) in zip(streams, decs):
-            if d.shape != s.shape:
-                print(f"TSAN-PHASE SHAPE MISMATCH seed={seed}")
+        for enc, (_, d) in zip(encs, decs):
+            _, ref = native.decode(enc)
+            if not np.array_equal(d, ref):
+                print(f"TSAN-PHASE BYTE DIVERGENCE seed={seed} (decode)")
                 return 1
     print(json.dumps({"tsan_child": "done", "seeds": n_seeds,
                       "streams_per_seed": 8}))
@@ -312,7 +313,7 @@ def _parent(n_seeds: int, mutations: int, record: str | None) -> int:
 
     # phase 2: ThreadSanitizer over the threaded batch entry points
     tsan_seeds = max(4, n_seeds // 8)
-    rc_tsan = 1
+    rc_tsan: "int | None" = None  # None = phase skipped (ASan failed first)
     if rc == 0:
         tsan_lib = tmp / "libaadx_tsan.so"
         subprocess.run(
@@ -343,8 +344,10 @@ def _parent(n_seeds: int, mutations: int, record: str | None) -> int:
         "mutation_streams": min(MUT_KEEP, n_seeds),
         "mutations_per_stream": mutations,
         "sanitizers": "address,undefined (no-recover) + thread",
-        "tsan_seeds": tsan_seeds,
-        "tsan_ok": rc_tsan == 0,
+        "tsan_seeds": tsan_seeds if rc_tsan is not None else 0,
+        # null in the record = TSan never ran (the ASan phase failed first),
+        # distinct from false = TSan ran and found a race/divergence.
+        "tsan_ok": (rc_tsan == 0) if rc_tsan is not None else None,
         "entry_points": [
             "parse_header", "decode", "encode", "encode_parallel",
             "encode_chunk", "decode_payload_blocks",

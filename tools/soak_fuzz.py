@@ -44,7 +44,7 @@ from aad_tpu.codec.encoder import EncodeConfig
 from aad_tpu.codec.encoder import encode as jax_encode
 from aad_tpu.format.wav import read_wav
 
-REFERENCE_DIR = Path("/root/reference")
+REFERENCE_DIR = Path(os.environ.get("AAD_TPU_REFERENCE_DIR", "/root/reference"))
 
 # Direct JAX-engine seeds: every Nth seed compares the scan engines (and,
 # sparser, fused-interpret decode) straight against the reference binary —
