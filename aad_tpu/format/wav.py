@@ -92,6 +92,11 @@ def read_wav(path: str) -> tuple[WavFormat, np.ndarray]:
                 raise InvalidFormatError(f"truncated fmt chunk: {e}") from None
             if tag != 1:  # linear PCM only (reference: src/wav.c:144-148)
                 raise InvalidFormatError(f"unsupported WAVE format tag: {tag}")
+            if nch < 1:
+                raise InvalidFormatError(f"invalid channel count: {nch}")
+            if depth not in (8, 16, 24, 32):
+                # early: a sub-byte depth would make the frame size 0 below
+                raise InvalidFormatError(f"unsupported bits_per_sample: {depth}")
             fmt = (nch, rate, depth)
         elif cid == b"data":
             pcm_bytes = body

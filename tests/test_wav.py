@@ -93,6 +93,71 @@ def test_truncated_fmt_rejected(tmp_path):
         read_wav(path)
 
 
+def _wav_blob(fmt_fields, data, riff_size=None, extra=b""):
+    fmt_chunk = struct.pack("<HHIIHH", *fmt_fields)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"data" + struct.pack("<I", len(data)) + data
+        + extra
+    )
+    return b"RIFF" + struct.pack("<I", riff_size or len(body)) + body
+
+
+@pytest.mark.parametrize(
+    "name,fmt_fields,data",
+    [
+        # zero channels: frame size would be 0 (ZeroDivision without the
+        # early validation) — must be a typed format error, never a crash
+        ("zero_nch", (1, 0, 8000, 0, 0, 16), b"\x00" * 8),
+        # sub-byte depth: frame size would round to 0 at 1 channel
+        ("depth4", (1, 1, 8000, 4000, 1, 4), b"\x00" * 8),
+        ("depth0", (1, 1, 8000, 0, 0, 0), b"\x00" * 8),
+        # unsupported but byte-aligned depth
+        ("depth12", (1, 2, 8000, 24000, 3, 12), b"\x00" * 12),
+    ],
+)
+def test_malformed_fmt_typed_errors(tmp_path, name, fmt_fields, data):
+    path = str(tmp_path / f"{name}.wav")
+    with open(path, "wb") as f:
+        f.write(_wav_blob(fmt_fields, data))
+    with pytest.raises(InvalidFormatError):
+        read_wav(path)
+
+
+def test_lying_chunk_sizes_robust(tmp_path):
+    """A data chunk whose declared size runs past EOF must parse from the
+    bytes that exist (sample count derives from actual data, matching the
+    reference's byte-size accounting), and a chunk size that overflows the
+    walk must terminate, not loop or crash."""
+    pcm = (np.arange(-8, 8, dtype=np.int32) << 16)[None]
+    data = (pcm[0] >> 16).astype("<i2").tobytes()
+    fmt_chunk = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"data" + struct.pack("<I", 0xFFFF0000) + data  # lies past EOF
+    )
+    path = str(tmp_path / "lying.wav")
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+    fmt, back = read_wav(path)
+    assert fmt.num_samples == 16
+    np.testing.assert_array_equal(back, pcm)
+
+
+def test_data_not_frame_multiple_truncates(tmp_path):
+    """A data chunk holding a partial trailing frame drops the fragment
+    (sample count = byte size // frame size, reference: src/wav.c)."""
+    data = b"\x01\x00\x02\x00\x03"  # 2.5 int16 mono samples
+    path = str(tmp_path / "ragged.wav")
+    with open(path, "wb") as f:
+        f.write(_wav_blob((1, 1, 8000, 16000, 2, 16), data))
+    fmt, back = read_wav(path)
+    assert fmt.num_samples == 2
+    np.testing.assert_array_equal(back[0] >> 16, [1, 2])
+
+
 def test_cli_24bit_input_gap_mode(tmp_path, reference_cli):
     """-g on a 24-bit input: residual computed in the canonical domain,
     matching the reference bit-for-bit."""
