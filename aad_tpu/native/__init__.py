@@ -109,14 +109,40 @@ def _load() -> "ctypes.CDLL | None":
                     _build_failed = True
                     return None
         lib = ctypes.CDLL(str(lib_path))
+        # Full argtypes, not just restypes: the C entries take size_t, and
+        # an undeclared Python int crosses the FFI as a 32-bit c_int whose
+        # upper half of the 64-bit register/stack slot is undefined —
+        # bounds checks against such a capacity are meaningless.
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        szp = ctypes.POINTER(ctypes.c_size_t)
+        infop = ctypes.POINTER(_AadxInfo)
+        u32 = ctypes.c_uint32
+        sz = ctypes.c_size_t
         lib.aadx_parse_header.restype = ctypes.c_int
+        lib.aadx_parse_header.argtypes = [u8p, sz, infop]
         lib.aadx_decode.restype = ctypes.c_int
+        lib.aadx_decode.argtypes = [u8p, sz, i32p, sz, infop]
         lib.aadx_encode.restype = ctypes.c_int
+        lib.aadx_encode.argtypes = [
+            i32p, u32, u32, u32, u32, u32, u32, u32, u8p, sz, szp,
+        ]
         lib.aadx_encode_parallel.restype = ctypes.c_int
-        lib.aadx_encode_bound.restype = ctypes.c_size_t
+        lib.aadx_encode_parallel.argtypes = [
+            i32p, u32, u32, u32, u32, u32, u32, u32, u32, u32, u8p, sz, szp,
+        ]
+        lib.aadx_encode_bound.restype = sz
+        lib.aadx_encode_bound.argtypes = [u32, u32, u32, u32]
         lib.aadx_block_geometry.restype = ctypes.c_int
+        lib.aadx_block_geometry.argtypes = [u32, u32, u32, u32p, u32p]
         lib.aadx_encode_chunk.restype = ctypes.c_int
+        lib.aadx_encode_chunk.argtypes = [
+            i32p, u32, u32, u32, u32, u32, u32, u32, u32,
+            i32p, i32p, u8p, sz, szp,
+        ]
         lib.aadx_decode_blocks.restype = ctypes.c_int
+        lib.aadx_decode_blocks.argtypes = [u8p, sz, u32, i32p, sz, infop]
         _lib = lib
         return lib
 
