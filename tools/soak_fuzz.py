@@ -66,9 +66,30 @@ def main(n_seeds: int = 400, record: str | None = None) -> int:
     work = build / "work"
     work.mkdir()
 
+    def _shed_jit_maps() -> None:
+        # Random geometries mean every JAX oracle seed compiles fresh shapes;
+        # live JIT code mappings accumulate and a long soak in one process
+        # can hit the kernel vm.max_map_count ceiling (65530 — the same
+        # failure mode tests/conftest.py guards against). Shed executables
+        # periodically; functools-cached probe results survive.
+        try:
+            with open("/proc/self/maps") as f:
+                high = sum(1 for _ in f) > 40_000
+        except OSError:
+            return
+        if high:
+            import gc
+
+            import jax
+
+            jax.clear_caches()
+            gc.collect()
+
     bad = 0
     counts = {"native": 0, "scan": 0, "fused": 0}
     for seed in range(n_seeds):
+        if seed % JAX_EVERY == 0:
+            _shed_jit_maps()
         rng = np.random.default_rng(50_000 + seed)
         nch = int(rng.integers(1, 3))
         bps = int(rng.integers(2, 5))
