@@ -140,3 +140,34 @@ class TestFileIO:
         _, got = read_wav(str(tmp_path / "o.wav"))
         _, want = read_wav(str(fixture_dir / "sin300Hz_mono_decoded.wav"))
         np.testing.assert_array_equal(got, want)
+
+
+def test_bench_device_metric_contract():
+    """bench.py's transfer-inclusive decode metric keeps its contract.
+
+    ``measure_decode_e2e_device`` returns ``(samples_per_sec,
+    transport_ratio)`` — the ratio is the interleaved serial
+    transport-only reference over the pipeline wall (docs: BASELINE.md,
+    transfer-inclusive decode). Pinned here on a tiny CPU stream so a
+    future signature or key rename cannot rot silently between rounds;
+    the output itself must stay bit-exact vs the public decode path.
+    """
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import bench as B_mod
+    from aad_tpu import FILE_HEADER_SIZE, decode, decode_header
+
+    data, _ = B_mod.build_synthetic_stream(48000 * 2)
+    header = decode_header(data[:FILE_HEADER_SIZE])
+    sps, ratio = B_mod.measure_decode_e2e_device(data, header)
+    assert sps > 0 and ratio > 0
+    # The metric's warm decode must agree with the public API's answer.
+    from aad_tpu.codec.decoder import Decoder
+
+    dec = Decoder.from_header(header)
+    payload = np.frombuffer(data, dtype=np.uint8)[FILE_HEADER_SIZE:]
+    got = np.asarray(dec.decode_payload_ondevice(payload))
+    _, want = decode(data)
+    np.testing.assert_array_equal(got, np.asarray(want, dtype=got.dtype))
