@@ -555,8 +555,9 @@ def measure_decode_e2e_device(data: bytes, header):
     benchmarks/probe_tunnel_transport.py does — is measured INTERLEAVED
     with the pipeline (alternated inside each round, so both see the same
     link conditions). Returns ``(samples_per_sec, transport_ratio)``;
-    ``transport_ratio`` is serial-transport wall / pipeline wall under
-    matched conditions. Values near 1.0 mean the wall IS byte motion;
+    ``transport_ratio`` is the MEDIAN of the per-round paired ratios
+    (serial-transport wall / pipeline wall of the same round) — pairing
+    keeps both walls inside one drift regime. Values near 1.0 mean the wall IS byte motion;
     values above 1.0 mean the chunk-overlapped schedule moves the bytes
     and decodes faster than pure serial transport of the same volumes
     (the serial reference is what the pre-overlap pipeline paid).
@@ -586,18 +587,24 @@ def measure_decode_e2e_device(data: bytes, header):
 
         np.asarray(touch(jax.device_put(words)))  # warm/compile
 
-        best_pipe = best_net = float("inf")
+        best_pipe = float("inf")
+        ratios = []
         for _ in range(3):
             t0 = time.time()
             out = dec.decode_payload_ondevice(payload)
             _ = out[0, -1], out[-1, 0]  # touch the host view
-            best_pipe = min(best_pipe, time.time() - t0)
+            pipe = time.time() - t0
+            best_pipe = min(best_pipe, pipe)
             t0 = time.time()
             o = np.asarray(touch(jax.device_put(words)))
             _ = o[0, -1], o[-1, 0]
-            best_net = min(best_net, time.time() - t0)
-        return samples / best_pipe, best_net / best_pipe
-    except Exception:
+            # Pair each transport wall with the pipeline wall of the SAME
+            # round: the link drifts ~2x over minutes, so unpaired mins can
+            # come from different drift regimes and bias the ratio.
+            ratios.append((time.time() - t0) / pipe)
+        return samples / best_pipe, sorted(ratios)[len(ratios) // 2]
+    except Exception as exc:  # noqa: BLE001 - metric is best-effort
+        print(f"measure_decode_e2e_device failed: {exc!r}", file=sys.stderr)
         return 0, 0.0
 
 

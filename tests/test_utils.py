@@ -142,7 +142,7 @@ class TestFileIO:
         np.testing.assert_array_equal(got, want)
 
 
-def test_bench_device_metric_contract():
+def test_bench_device_metric_contract(monkeypatch):
     """bench.py's transfer-inclusive decode metric keeps its contract.
 
     ``measure_decode_e2e_device`` returns ``(samples_per_sec,
@@ -152,10 +152,19 @@ def test_bench_device_metric_contract():
     future signature or key rename cannot rot silently between rounds;
     the output itself must stay bit-exact vs the public decode path.
     """
+    import os
     import pathlib
-    import sys
 
-    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    # Scope the import's side effects to this test: bench.py setdefaults
+    # JAX_COMPILATION_CACHE_DIR at import time, which would otherwise leak
+    # into subprocesses spawned by later tests.
+    monkeypatch.syspath_prepend(
+        str(pathlib.Path(__file__).resolve().parent.parent)
+    )
+    monkeypatch.setenv(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/aad_tpu_hw_cache"),
+    )
     import bench as B_mod
     from aad_tpu import FILE_HEADER_SIZE, decode, decode_header
 
