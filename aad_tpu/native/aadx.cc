@@ -9,6 +9,7 @@
 
 #include <algorithm>
 #include <cmath>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -103,7 +104,14 @@ struct Lms {
   int32_t w[kFilterOrder] = {0, 0, 0, 0};
   int32_t idx = 0;
 
-  int32_t stepsize() const { return tables().step[(idx + kQ4Half) >> kQ4]; }
+  // The slot min pins the malformed-header case (12-bit wire index in
+  // (4080, 4095] -> slot 256, one past the table — UB in the reference,
+  // whose asserts are DEBUG-only) to slot 255, matching the JAX engines'
+  // clip-mode lookup. Valid streams never reach it; the cmov is noise
+  // next to the quantiser idiv.
+  int32_t stepsize() const {
+    return tables().step[std::min((idx + kQ4Half) >> kQ4, 255)];
+  }
 
   void adapt_index(uint32_t code, uint32_t bps) {
     const int32_t half = 1 << (bps - 1);
@@ -426,8 +434,11 @@ inline __m512i step16(LaneState& s, __m512i code, const int32_t* steptab,
   const __m512i absmask = _mm512_set1_epi32((1 << (BPS - 1)) - 1);
   const __m512i signbit = _mm512_set1_epi32(1 << (BPS - 1));
   const __m512i halfv = _mm512_set1_epi32(kHalf);
-  const __m512i slot = _mm512_srai_epi32(
-      _mm512_add_epi32(s.idx, _mm512_set1_epi32(kQ4Half)), kQ4);
+  // min: malformed-header slot 256 -> 255 (see Lms::stepsize).
+  const __m512i slot = _mm512_min_epi32(
+      _mm512_srai_epi32(
+          _mm512_add_epi32(s.idx, _mm512_set1_epi32(kQ4Half)), kQ4),
+      _mm512_set1_epi32(255));
   const __m512i st = _mm512_i32gather_epi32(slot, steptab, 4);
   const __m512i mag = _mm512_and_si512(code, absmask);
   __m512i q = _mm512_srai_epi32(
@@ -688,6 +699,17 @@ uint32_t decode_blocks_simd(const uint8_t* data, uint32_t nblocks,
 
 #pragma GCC pop_options
 
+// Test/diagnostic knob: AADX_FORCE_SCALAR=1 (any non-"0" value) disables
+// the AVX-512 paths, so the scalar engine — the configuration that IS the
+// reference's entire codec (reference: src/aad_decoder.c:269-318) — runs as
+// the main path on any host. Read per entry call (not cached) so one test
+// process can compare both paths; the per-call getenv is noise next to the
+// codec work behind each gate.
+bool force_scalar() {
+  const char* e = std::getenv("AADX_FORCE_SCALAR");
+  return e && *e && *e != '0';
+}
+
 // Dispatch: how many leading full blocks the SIMD path may decode.
 // Requires every gathered u32 to stay inside [data, data+size): each lane's
 // last gather reads at most 3 bytes past its block's data section, so the
@@ -695,7 +717,7 @@ uint32_t decode_blocks_simd(const uint8_t* data, uint32_t nblocks,
 uint32_t simd_decode_prefix(const AadxInfo& info, const Geometry& g,
                             size_t size, size_t base) {
   static const bool ok = __builtin_cpu_supports("avx512f");
-  if (!ok) return 0;
+  if (!ok || force_scalar()) return 0;
   if (size > (size_t(1) << 30)) return 0;  // int32 gather offsets
   if (size_t(info.num_channels) * info.num_samples * 4 > (size_t(1) << 30))
     return 0;  // int32 scatter offsets
@@ -745,8 +767,12 @@ inline void enc_step16(LaneState& s, __m512i x, const int32_t* steptab,
   const __m512i zero = _mm512_setzero_si512();
   const __m512i one = _mm512_set1_epi32(1);
   const __m512i halfv = _mm512_set1_epi32(kHalf);
-  const __m512i slot = _mm512_srai_epi32(
-      _mm512_add_epi32(s.idx, _mm512_set1_epi32(kQ4Half)), kQ4);
+  // min: keeps user-supplied carry states (aadx_encode_chunk) in the
+  // table even when forged; in-contract states never reach it.
+  const __m512i slot = _mm512_min_epi32(
+      _mm512_srai_epi32(
+          _mm512_add_epi32(s.idx, _mm512_set1_epi32(kQ4Half)), kQ4),
+      _mm512_set1_epi32(255));
   const __m512i st = _mm512_i32gather_epi32(slot, steptab, 4);
   __m512i acc = halfv;
   for (int k = 0; k < kFilterOrder; ++k)
@@ -1162,7 +1188,7 @@ uint32_t run_simd_encode_parallel(const int32_t* pcm, const AadxInfo& h,
                                   size_t capacity,
                                   const Lms* seeds = nullptr) {
   static const bool ok = __builtin_cpu_supports("avx512f");
-  if (!ok) return 0;
+  if (!ok || force_scalar()) return 0;
   const uint32_t nspb = g.samples_per_block;
   const uint32_t c = chunk_blocks;
   uint32_t nb = h.num_samples / nspb;  // blocks with every sample present

@@ -161,8 +161,13 @@ def _decode_word_step(
         code = (word >> (4 * k)) & 0xF
         mag = code & absmask
 
-        # step size from the verified formula (+ corrections)
-        slot = (idx + TABLES_FLOAT_0_5) >> TABLES_FLOAT_DIGITS
+        # step size from the verified formula (+ corrections); the min
+        # pins the malformed-header case (wire index > 4080 -> slot 256,
+        # UB in the reference) to slot 255, matching the scan engine's
+        # clip-mode lookup (ops/transitions.py::stepsize_from_index).
+        slot = jnp.minimum(
+            (idx + TABLES_FLOAT_0_5) >> TABLES_FLOAT_DIGITS, 255
+        )
         stepsize = _stepsize_f32(slot).astype(jnp.int32)
         for s, d in corrections:
             stepsize = stepsize + jnp.where(slot == s, jnp.int32(d), jnp.int32(0))

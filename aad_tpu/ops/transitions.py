@@ -68,10 +68,20 @@ def _tables_for(bits_per_sample: int) -> tuple[Array, Array]:
 
 
 def stepsize_from_index(step_index: Array) -> Array:
-    """Step size lookup (reference: src/aad_tables.h:15,28)."""
+    """Step size lookup (reference: src/aad_tables.h:15,28).
+
+    ``mode="clip"`` defines the one case the reference leaves undefined:
+    a malformed block header can carry a 12-bit wire index in (4080, 4095]
+    whose table slot is 256 — one past the table. The reference reads out
+    of bounds there (its AAD_ASSERTs are DEBUG-only); this framework
+    clamps the slot to 255 in every engine (scan here; fused kernel and
+    native scalar/SIMD at their own slot computations), so all engines
+    agree bit-exactly even on adversarial streams. Valid streams never
+    reach the clamp — the encoder's index adaptation is bounded at 4080.
+    """
     step_tab = jnp.asarray(STEPSIZE_TABLE, dtype=jnp.int32)
     slot = cs.asr(step_index + cs.i32(TABLES_FLOAT_0_5), TABLES_FLOAT_DIGITS)
-    return jnp.take(step_tab, slot, axis=0)
+    return jnp.take(step_tab, slot, axis=0, mode="clip")
 
 
 def update_step_index(step_index: Array, code: Array, bits_per_sample: int) -> Array:

@@ -180,3 +180,37 @@ class TestRoundTrip:
         pcm = sine(N, 2, rate=RATE)
         data = _our_encode(pcm, RATE, 4, 1024, trials=0, ms=False)
         assert len(data) < pcm.size * 2 / 2  # < half the int16 input bytes
+
+
+class TestDeepTrials:
+    """Trial counts above 2 vs the reference binary (VERDICT round 4, item 2).
+
+    The reference accepts ``-t`` up to 255 (uint8 cast of strtol,
+    src/main.c:578-588); deeper searches shift the min-RMSE fold's
+    selection pattern because every trial re-encodes prev+current
+    (src/aad_encoder.c:470-562). All committed coverage before round 5
+    pinned trials in {0,1,2} only — these cells pin the scan AND native
+    engines byte-exact against the oracle at -t 4 / -t 8.
+    """
+
+    @pytest.mark.parametrize("trials", [4, 8])
+    def test_deep_search_scan_and_native_match_reference(
+        self, reference_cli, tmp_path, trials
+    ):
+        from aad_tpu import native
+
+        pcm = _signals(2)["noise"]
+        pcm[1] = nyquist(N, 1)[0]  # decorrelated, quantiser-hostile channel
+        wav = tmp_path / "in.wav"
+        write_pcm16_wav(wav, pcm, RATE)
+        ref = reference_encode(
+            reference_cli, wav, tmp_path / "ref.aad", bps=4,
+            trials=trials, block=192,
+        )
+        assert _our_encode(pcm, RATE, 4, 192, trials, ms=False) == ref
+        if native.available():
+            cfg = EncodeConfig(
+                num_channels=2, sampling_rate=RATE, bits_per_sample=4,
+                max_block_size=192, num_encode_trials=trials,
+            )
+            assert native.encode(pcm, cfg) == ref

@@ -586,3 +586,118 @@ class TestNativeBatch:
                 np.asarray(p2), np.asarray(ps).astype(np.int16)
             )
             assert h1.num_samples == hs.num_samples == h2.num_samples
+
+
+class TestForceScalar:
+    """AADX_FORCE_SCALAR=1 parity (VERDICT round 4, item 3).
+
+    The native engine dispatches to AVX-512 whenever the host supports it,
+    so on such hosts the pure-scalar configuration — the configuration that
+    IS the reference's entire codec (reference: src/aad_decoder.c:269-318)
+    — would otherwise run only as tail drains. The knob forces scalar at
+    both dispatch gates (native/aadx.cc::simd_decode_prefix /
+    run_simd_encode_parallel); output must be byte-identical to the SIMD
+    path and to the reference binary. The knob is read per entry call, so
+    one process can exercise and compare both paths.
+    """
+
+    GEOMETRIES = [  # (bps, nch, ms, max_block_size, chunk, warm)
+        (4, 2, False, 1024, 1, 0),
+        (4, 2, True, 1024, 3, 1),  # chunked+Jacobi-warm parallel mode
+        (2, 1, False, 256, 1, 0),
+        (3, 2, False, 387, 1, 0),  # odd block -> LCM interleave geometry
+    ]
+
+    @pytest.mark.parametrize("bps,nch,ms,mbs,chunk,warm", GEOMETRIES)
+    def test_scalar_matches_simd(
+        self, monkeypatch, bps, nch, ms, mbs, chunk, warm
+    ):
+        cfg = EncodeConfig(
+            num_channels=nch, sampling_rate=16000, bits_per_sample=bps,
+            max_block_size=mbs, ch_process_method=1 if ms else 0,
+        )
+        nspb = cfg.geometry().num_samples_per_block
+        pcm = noise(37 * nspb + 11, nch, seed=bps * 10 + nch)
+        monkeypatch.delenv("AADX_FORCE_SCALAR", raising=False)
+        enc = native.encode(pcm, cfg)
+        par = native.encode_parallel(
+            pcm, cfg, chunk_blocks=chunk, warm_passes=warm
+        )
+        _, dec = native.decode(enc)
+        _, decp = native.decode(par)
+        monkeypatch.setenv("AADX_FORCE_SCALAR", "1")
+        assert native.encode(pcm, cfg) == enc
+        assert (
+            native.encode_parallel(
+                pcm, cfg, chunk_blocks=chunk, warm_passes=warm
+            )
+            == par
+        )
+        _, dec_s = native.decode(enc)
+        np.testing.assert_array_equal(dec_s, dec)
+        _, decp_s = native.decode(par)
+        np.testing.assert_array_equal(decp_s, decp)
+
+    def test_scalar_matches_reference_binary(
+        self, monkeypatch, reference_cli, tmp_path
+    ):
+        """Forced-scalar encode bytes and decode samples vs the oracle."""
+        from util import reference_decode, reference_encode, write_pcm16_wav
+
+        nch, bps, block = 2, 4, 600
+        pcm = noise(48000, nch, seed=7)
+        wav = tmp_path / "in.wav"
+        write_pcm16_wav(wav, pcm, 16000)
+        ref_bytes = reference_encode(
+            reference_cli, wav, tmp_path / "ref.aad", bps=bps, block=block
+        )
+        cfg = EncodeConfig(
+            num_channels=nch, sampling_rate=16000, bits_per_sample=bps,
+            max_block_size=block,
+        )
+        monkeypatch.setenv("AADX_FORCE_SCALAR", "1")
+        assert native.encode(pcm, cfg) == ref_bytes
+        _, ours = native.decode(ref_bytes)
+        ref_wav = reference_decode(
+            reference_cli, tmp_path / "ref.aad", tmp_path / "ref_out.wav"
+        )
+        _, golden = read_wav(str(ref_wav))
+        np.testing.assert_array_equal(ours, golden >> 16)
+
+
+class TestMalformedStepIndex:
+    """Cross-engine agreement on out-of-range wire step indices.
+
+    The 12-bit block-header index field can carry (4080, 4095] — slot 256,
+    one past the 256-entry step table. The reference reads out of bounds
+    there (src/aad_tables.h:28; DEBUG-only asserts); this framework pins
+    the case to slot 255 in every engine. Found by the round-5 sanitizer
+    fuzz (UBSan array-bounds in the scalar path); this test holds the
+    cross-engine agreement that makes the fix a format-level semantic.
+    """
+
+    def _malformed_stream(self, idx=4095):
+        from aad_tpu import FILE_HEADER_SIZE
+        from aad_tpu.codec.encoder import encode as jenc
+
+        rng = np.random.default_rng(3)
+        pcm = rng.integers(-20000, 20000, (1, 3000)).astype(np.int32)
+        cfg = EncodeConfig(num_channels=1, sampling_rate=8000)
+        data = bytearray(jenc(pcm, cfg, engine="scan"))
+        shift = data[FILE_HEADER_SIZE + 1] & 0xF
+        tag = (idx << 4) | shift
+        data[FILE_HEADER_SIZE] = tag >> 8
+        data[FILE_HEADER_SIZE + 1] = tag & 0xFF
+        return bytes(data)
+
+    @pytest.mark.parametrize("idx", [4081, 4095])
+    def test_all_native_paths_match_scan(self, monkeypatch, idx):
+        data = self._malformed_stream(idx)
+        _, want = jax_decode(data, engine="scan")
+        want = np.asarray(want)
+        monkeypatch.setenv("AADX_FORCE_SCALAR", "1")
+        _, got_scalar = native.decode(data)
+        np.testing.assert_array_equal(got_scalar, want)
+        monkeypatch.delenv("AADX_FORCE_SCALAR")
+        _, got_simd = native.decode(data)
+        np.testing.assert_array_equal(got_simd, want)

@@ -253,7 +253,10 @@ def test_encode_kernel_matches_scan(per_pass):
 
 @pytest.mark.parametrize(
     "trials,bsize,bps",
-    [(2, 1024, 4), (3, 320, 4), (2, 96, 2), (1, 128, 3)],
+    [(2, 1024, 4), (3, 320, 4), (2, 96, 2), (1, 128, 3),
+     # deep searches (VERDICT round 4, item 2): the "2N slots for
+     # trials=N" schedule had never run with N>3 against an oracle
+     (4, 320, 4), (8, 96, 2)],
 )
 def test_encode_fused_pass_stack_matches_scan(trials, bsize, bps):
     """The pass-stacked single-tile trial search (interpret) == scan engine.
@@ -295,3 +298,33 @@ def test_encode_fused_pass_stack_matches_scan(trials, bsize, bps):
     np.testing.assert_array_equal(np.asarray(c_s), np.asarray(c_f))
     for a, b in zip(h_s, h_f):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_decode_malformed_step_index_matches_scan():
+    """Engines agree on wire step indices in (4080, 4095] — slot 256.
+
+    A malformed block header can carry a 12-bit index above the encoder-
+    reachable maximum (4080); its table slot is 256, one past the table,
+    which the reference reads out of bounds (src/aad_tables.h:28 — its
+    asserts are DEBUG-only). The framework defines the case instead: every
+    engine clamps the slot to 255 (ops/transitions.py::stepsize_from_index
+    clip-mode, the fused kernel's jnp.minimum, native's std::min /
+    _mm512_min_epi32) so adversarial streams cannot diverge engines.
+    """
+    from aad_tpu.ops.decode import _decode_blocks_impl
+    from aad_tpu.ops.pallas_decode import warm_fused_engine
+
+    warm_fused_engine()
+    L, T = 24, 70
+    codes = jnp.asarray(RNG.integers(0, 16, (L, T), dtype=np.uint8))
+    si = jnp.asarray(RNG.integers(4081, 4096, (L,)).astype(np.int32))
+    wt = jnp.asarray(RNG.integers(-20000, 20000, (L, 4)).astype(np.int32))
+    hi = jnp.asarray(RNG.integers(-32768, 32768, (L, 4)).astype(np.int32))
+
+    fused = _decode_blocks_impl(
+        codes, si, wt, hi, bits_per_sample=4, engine="fused"
+    )
+    scan = _decode_blocks_impl(
+        codes, si, wt, hi, bits_per_sample=4, engine="scan"
+    )
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(scan))

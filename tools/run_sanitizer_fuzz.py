@@ -14,7 +14,15 @@ tools/soak_fuzz.py pins conformance:
   under ``LD_PRELOAD=libasan.so`` with ``AAD_TPU_NATIVE_LIB`` pointing at
   the sanitizer build (the loader override in aad_tpu/native/__init__.py).
 
-* A second **ThreadSanitizer phase** rebuilds libaadx with
+* A second ASan pass re-runs the same manifest-checked child with
+  ``AADX_FORCE_SCALAR=1`` (the dispatch-gate knob in aadx.cc): on an
+  AVX-512 host the scalar engine otherwise runs only as tail drains, so
+  this pass is the proof that the full scalar-as-main-path configuration
+  — the reference's entire codec — is memory-safe AND byte-identical to
+  the SIMD path over every fuzz geometry (the manifest hashes came from
+  the production SIMD build).
+
+* A **ThreadSanitizer phase** rebuilds libaadx with
   ``-fsanitize=thread`` and drives the threaded batch entry points
   (encode_batch sequential + parallel-mode, decode_batch) over an
   8-worker pool, asserting byte-identity with the single-threaded calls —
@@ -311,6 +319,20 @@ def _parent(n_seeds: int, mutations: int, record: str | None) -> int:
         env=env, timeout=3600,
     ).returncode
 
+    # phase 1b: the same child, scalar path forced at the dispatch gates.
+    # The manifest hashes came from the production (SIMD) library, so a
+    # clean pass proves the scalar-as-main-path configuration is both
+    # memory-safe and byte-identical to SIMD on every fuzz geometry.
+    rc_scalar: "int | None" = None  # None = skipped (ASan phase failed)
+    if rc == 0:
+        senv = dict(env, AADX_FORCE_SCALAR="1")
+        rc_scalar = subprocess.run(
+            [sys.executable, __file__, "--child", str(n_seeds),
+             str(mutations), str(manifest_path)],
+            env=senv, timeout=3600,
+        ).returncode
+        rc = rc_scalar
+
     # phase 2: ThreadSanitizer over the threaded batch entry points
     tsan_seeds = max(4, n_seeds // 8)
     rc_tsan: "int | None" = None  # None = phase skipped (ASan failed first)
@@ -344,6 +366,9 @@ def _parent(n_seeds: int, mutations: int, record: str | None) -> int:
         "mutation_streams": min(MUT_KEEP, n_seeds),
         "mutations_per_stream": mutations,
         "sanitizers": "address,undefined (no-recover) + thread",
+        # null = the scalar-forced pass never ran (SIMD ASan failed first);
+        # true = scalar path ASan-clean AND byte-identical to SIMD.
+        "scalar_forced_ok": (rc_scalar == 0) if rc_scalar is not None else None,
         "tsan_seeds": tsan_seeds if rc_tsan is not None else 0,
         # null in the record = TSan never ran (the ASan phase failed first),
         # distinct from false = TSan ran and found a race/divergence.

@@ -1,14 +1,28 @@
 """Extended differential soak: our engines vs the reference binary, direct.
 
-Random geometries (odd block sizes, mono/stereo, LR/MS, trials 0-2), both
-directions, N seeds (default 400, ~6 min). Scales up the suite's
-tests/test_native.py::TestGeometryFuzz (6 seeds per run) for pre-release
-confidence sweeps. Most seeds run the fast native engine; every
-``JAX_EVERY``-th seed ALSO puts the JAX scan engines face-to-face with the
-reference binary (encode bytes and decoded samples, no native
-transitivity), and every ``FUSED_EVERY``-th seed additionally decodes
-through the fused engine (Pallas interpret on CPU — slow, so sparse). The
-final line reports per-engine seed counts.
+Random geometries, both directions, N seeds (default 400, ~6 min). Scales
+up the suite's tests/test_native.py::TestGeometryFuzz (6 seeds per run)
+for pre-release confidence sweeps. The sampled space spans the FORMAT's
+limits, not just the common operating points (round-5 widening):
+
+* max_block_size: ~15% near-minimum blocks (header + 0-2 pack units,
+  including header-only), ~70% the production band [40*nch, 1200), ~15%
+  log-uniform up to the wire field's u16 ceiling 65535 (header write
+  reference: src/aad_encoder.c:188-217);
+* trials: biased to the reference CLI band {0,1,2}, with a ~25% tail
+  drawn from [3, 8] — deeper searches shift the min-RMSE fold's
+  selection (trial loop reference: src/aad_encoder.c:470-562);
+* every ``DEPTH_EVERY``-th seed runs file-level ingest conformance at a
+  random 8/24/32-bit WAV depth (ingest truncation reference:
+  src/main.c:177) — our encode_file vs the reference CLI on the same
+  file, byte-exact.
+
+Most seeds run the fast native engine; every ``JAX_EVERY``-th seed ALSO
+puts the JAX scan engines face-to-face with the reference binary (encode
+bytes and decoded samples, no native transitivity), and every
+``FUSED_EVERY``-th seed additionally decodes through the fused engine
+(Pallas interpret on CPU — slow, so sparse). The final line reports
+per-engine seed counts.
 
 Usage: python tools/soak_fuzz.py [num_seeds] [--record PATH]
 
@@ -40,6 +54,7 @@ from util import reference_decode, reference_encode, write_pcm16_wav
 
 from aad_tpu import native
 from aad_tpu.codec.decoder import decode as jax_decode
+from aad_tpu.codec.result import AadError
 from aad_tpu.codec.encoder import EncodeConfig
 from aad_tpu.codec.encoder import encode as jax_encode
 from aad_tpu.format.wav import read_wav
@@ -51,6 +66,31 @@ REFERENCE_DIR = Path(os.environ.get("AAD_TPU_REFERENCE_DIR", "/root/reference"))
 # a shared native+JAX misreading of the geometry helpers cannot pass.
 JAX_EVERY = 8
 FUSED_EVERY = 64
+DEPTH_EVERY = 16  # file-level ingest conformance at 8/24/32-bit WAV depth
+
+
+def _draw_geometry(rng, nch: int, bps: int):
+    """max_block_size spanning the format's limits (round-5 widening)."""
+    from aad_tpu.constants import block_header_size
+
+    r = rng.random()
+    hdr = block_header_size(nch)
+    if r < 0.15:
+        # near-minimum: header + a handful of bytes (may be header-only —
+        # every sample lives in the 4-tap history, nspb == 4)
+        return int(rng.integers(hdr, hdr + 60))
+    if r < 0.85:
+        return int(rng.integers(40 * nch, 1200))
+    # log-uniform up to the u16 wire-field ceiling
+    lo, hi = np.log(1200.0), np.log(65535.0)
+    return int(np.exp(rng.uniform(lo, hi)))
+
+
+def _draw_trials(rng) -> int:
+    """Biased to the CLI band {0,1,2}; ~25% deep searches in [3, 8]."""
+    if rng.random() < 0.75:
+        return int(rng.integers(0, 3))
+    return int(rng.integers(3, 9))
 
 
 def main(n_seeds: int = 400, record: str | None = None) -> int:
@@ -86,32 +126,61 @@ def main(n_seeds: int = 400, record: str | None = None) -> int:
             gc.collect()
 
     bad = 0
-    counts = {"native": 0, "scan": 0, "fused": 0}
+    counts = {"native": 0, "scan": 0, "fused": 0, "depth": 0,
+              "reject_parity": 0}
+    deep_trials = big_blocks = tiny_blocks = 0
     for seed in range(n_seeds):
         if seed % JAX_EVERY == 0:
             _shed_jit_maps()
         rng = np.random.default_rng(50_000 + seed)
         nch = int(rng.integers(1, 3))
         bps = int(rng.integers(2, 5))
-        mbs = int(rng.integers(40 * nch, 1200))
+        mbs = _draw_geometry(rng, nch, bps)
         ms = int(rng.integers(0, 2)) if nch == 2 else 0
-        trials = int(rng.integers(0, 3))
+        trials = _draw_trials(rng)
+        deep_trials += trials > 2
+        big_blocks += mbs >= 1200
+        tiny_blocks += mbs < 40 * nch
         cfg = EncodeConfig(
             num_channels=nch, sampling_rate=8000, bits_per_sample=bps,
             max_block_size=mbs, ch_process_method=ms,
             num_encode_trials=trials,
         )
         nspb = cfg.geometry().num_samples_per_block
-        n = int(rng.integers(1, 5 * nspb + 2))
+        # big blocks: 1.5 blocks still covers a ragged second block without
+        # blowing the JAX oracle seeds' runtime on six-figure nspb
+        n_hi = 5 * nspb + 2 if nspb <= 8192 else (3 * nspb) // 2 + 2
+        n = int(rng.integers(1, n_hi))
         # mix full-scale noise (the wrapped-square accumulator regime —
         # docs/DESIGN.md §3 exact-RMSE selection) with quieter signals
         scale = [32768, 32768, 8192, 512][seed % 4]
         pcm = rng.integers(-scale, scale, (nch, n)).astype(np.int32)
 
-        ours = native.encode(pcm, cfg)
-        counts["native"] += 1
         wav = work / f"s{seed}.wav"
         write_pcm16_wav(wav, pcm, 8000)
+        try:
+            ours = native.encode(pcm, cfg)
+        except AadError:
+            # near-minimum geometries can leave zero interleave units per
+            # block, which the reference rejects at header-encode time
+            # (src/aad_encoder.c:170). Parity here means BOTH sides
+            # reject — a config we refuse but the reference accepts (or
+            # vice versa) is a divergence.
+            rc = subprocess.run(
+                [str(binary), "-e", "-b", str(bps), "-s", str(mbs),
+                 "-t", str(trials)] + (["-m"] if ms else [])
+                + [str(wav), str(work / f"s{seed}.aad")],
+                capture_output=True, timeout=120,
+            ).returncode
+            if rc == 0:
+                bad += 1
+                print(f"REJECTION DIVERGENCE seed={seed} cfg={cfg}: "
+                      f"we reject, reference accepts")
+            counts["reject_parity"] += 1
+            for f in work.iterdir():
+                f.unlink()
+            continue
+        counts["native"] += 1
         ref = reference_encode(binary, wav, work / f"s{seed}.aad", bps=bps,
                                block=mbs, trials=trials, ms=ms == 1)
         if ours != ref:
@@ -141,12 +210,50 @@ def main(n_seeds: int = 400, record: str | None = None) -> int:
                 bad += 1
                 print(f"JAX-DECODE DIVERGENCE seed={seed} cfg={cfg}")
                 continue
-        if seed % FUSED_EVERY == 0:
+        if seed % FUSED_EVERY == 0 and nspb <= 8192:
+            # interpret-mode fused decode is minutes-slow on six-figure
+            # nspb; the hardware suite covers big geometries compiled
             counts["fused"] += 1
             _, fdec = jax_decode(ref, engine="fused")
             if not np.array_equal(np.asarray(fdec), ref_pcm >> 16):
                 bad += 1
                 print(f"FUSED-DECODE DIVERGENCE seed={seed} cfg={cfg}")
+                continue
+
+        # file-level ingest conformance at non-16-bit WAV depths: the
+        # reference truncates canonical PCM to 16 bits on ingest
+        # (src/main.c:177); encode_file mirrors it — bytes must match.
+        if seed % DEPTH_EVERY == 5:
+            from aad_tpu.format.wav import WavFormat, write_wav
+            from aad_tpu.io import encode_file
+
+            depth = [8, 24, 32][(seed // DEPTH_EVERY) % 3]
+            counts["depth"] += 1
+            canonical = (
+                rng.integers(
+                    -(2 ** (depth - 1)), 2 ** (depth - 1), (nch, n),
+                    dtype=np.int64,
+                )
+                << (32 - depth)
+            ).astype(np.int32)
+            dwav = work / f"d{seed}.wav"
+            write_wav(str(dwav), WavFormat(
+                num_channels=nch, sampling_rate=8000,
+                bits_per_sample=depth, num_samples=n,
+            ), canonical)
+            dref = reference_encode(
+                binary, dwav, work / f"d{seed}.aad", bps=bps, block=mbs,
+                trials=trials, ms=ms == 1,
+            )
+            encode_file(
+                str(dwav), str(work / f"d{seed}_ours.aad"),
+                bits_per_sample=bps, max_block_size=mbs, ms=ms == 1,
+                num_encode_trials=trials, engine="native",
+            )
+            if (work / f"d{seed}_ours.aad").read_bytes() != dref:
+                bad += 1
+                print(f"DEPTH-INGEST DIVERGENCE seed={seed} depth={depth} "
+                      f"cfg={cfg}")
                 continue
 
         # block-parallel conformance: the framework's own mode must emit a
@@ -175,14 +282,26 @@ def main(n_seeds: int = 400, record: str | None = None) -> int:
     print(
         f"soak done: {n_seeds} seeds, {bad} divergences; per-engine seeds: "
         f"native={counts['native']} scan={counts['scan']} "
-        f"fused={counts['fused']} (scan/fused compared DIRECTLY against the "
-        f"reference binary)"
+        f"fused={counts['fused']} depth-ingest={counts['depth']} "
+        f"reject-parity={counts['reject_parity']} "
+        f"(scan/fused compared DIRECTLY against the reference binary); "
+        f"space: deep-trials(3-8)={deep_trials} "
+        f"big-blocks(>=1200)={big_blocks} near-min-blocks={tiny_blocks}"
     )
     if record:
         Path(record).write_text(json.dumps({
             "seeds": n_seeds,
             "divergences": bad,
             "engine_seeds": counts,
+            "space": {
+                "trials": "{0,1,2} 75% / [3,8] 25%",
+                "deep_trial_seeds": deep_trials,
+                "max_block_size": "15% [hdr, hdr+60) / 70% [40*nch, 1200)"
+                                  " / 15% log-uniform [1200, 65535]",
+                "big_block_seeds": big_blocks,
+                "near_min_block_seeds": tiny_blocks,
+                "wav_depth_seeds": counts["depth"],
+            },
             "seconds": round(time.time() - t_start, 1),
             "ok": bad == 0,
         }, indent=1) + "\n")
