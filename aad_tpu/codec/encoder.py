@@ -216,6 +216,62 @@ def _encode_device_wire(
     return assemble_wire_words(hdr_u16, data_words, geo)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("geo", "num_trials", "ms", "engine", "chunk_blocks"),
+)
+def _encode_chunk_wire(
+    pcm_flat, valid, state, prev, blocks_before, *, geo: BlockGeometry,
+    num_trials: int, ms: bool, engine: str, chunk_blocks: int,
+):
+    """One transfer-overlap encode chunk: natural-layout PCM in, wire rows
+    + predictor carry out.
+
+    ``pcm_flat`` is (C, chunk_blocks * nspb) int32 — the user buffer's own
+    layout, so the host ships the chunk without any relayout copy; the
+    kernel's (B, C, nspb) layout materialises on device, where the
+    transpose is noise next to the encode chain (the host-side
+    ``_pad_to_blocks`` staging measured 45 ms of the 596 ms one-shot
+    wall — benchmarks/probe_encode_wrapper.py). The carry keeps chunked
+    output byte-identical to the one-shot encode (the same state chain
+    the streaming API pins, reference: src/aad_encoder.c:814-891).
+    """
+    from ..ops.encode import encode_stream_words
+    from ..ops.wire32 import (
+        assemble_wire_words,
+        build_header_words,
+        kernel_words_to_wire,
+    )
+
+    C = geo.num_channels
+    nspb = geo.num_samples_per_block
+    blocks = jnp.swapaxes(pcm_flat.reshape(C, chunk_blocks, nspb), 0, 1)
+    if ms:
+        blocks = lr_to_ms(blocks)
+    headers, kw, carry = encode_stream_words(
+        blocks, valid, geo.bits_per_sample, num_trials,
+        carry=(state, prev), blocks_before=blocks_before, engine=engine,
+    )
+    hdr_u16 = build_header_words(
+        headers.step_index, headers.shift, headers.weight, headers.history,
+        geo,
+    )
+    data_words = kernel_words_to_wire(kw, geo)
+    return assemble_wire_words(hdr_u16, data_words, geo), carry
+
+
+# Transfer-overlap chunking for the sequential device encode: blocks per
+# chunk (one compiled executable serves every stream length; the ragged
+# tail chunk zero-pads host-side) and the stream size below which the
+# one-shot path is used instead. Swept on hardware (DESIGN §3, round 5,
+# bench workload): 1024→5.5, 512→7.5, 256→8.1, 128→8.7, 64→9.0,
+# 32→8.0 M samples/s — the wall approaches kernel + first-chunk ramp as
+# chunks shrink until per-chunk Python/staging glue (~1.5 ms a chunk)
+# pushes back; 64 is the knee.
+_OVERLAP_CHUNK_BLOCKS = 64
+_OVERLAP_MIN_BLOCKS = 128
+
+
 def resolve_encode_engine(engine: str = "auto") -> str:
     """Resolve/warm the encode engine (Pallas on TPU, lax.scan elsewhere)."""
     if engine == "auto":
@@ -378,6 +434,18 @@ class Encoder:
             )
             return file_header + payload.tobytes()
 
+        if (
+            not self.parallel_blocks
+            and engine == "pallas"
+            and supports_wire32(self.geometry)
+            and num_blocks_for(
+                num_samples, self.geometry.num_samples_per_block
+            ) >= _OVERLAP_MIN_BLOCKS
+        ):
+            return file_header + self._encode_sequential_overlap(
+                pcm, num_samples, ms, engine
+            )
+
         blocks, valid, _ = _pad_to_blocks(pcm, self.geometry)
         if supports_wire32(self.geometry):
             if self.parallel_blocks:
@@ -437,6 +505,76 @@ class Encoder:
             header_bytes, np.asarray(codes), self.geometry, num_samples
         )
         return file_header + payload.tobytes()
+
+    def _encode_sequential_overlap(
+        self, pcm: np.ndarray, num_samples: int, ms: bool, engine: str
+    ) -> bytes:
+        """Chunked transfer-overlap sequential encode (device engines).
+
+        The encode mirror of the decoder's round-4 overlap schedule
+        (decoder._decode_prefix_overlap): the stream is encoded in fixed
+        chunks of ``_OVERLAP_CHUNK_BLOCKS`` blocks whose dispatches are
+        never blocked on, so chunk i+1's PCM uploads while chunk i's
+        kernel runs and chunk i's wire words stream back
+        (``copy_to_host_async``). The predictor carry chains the chunks,
+        so the bytes are identical to the one-shot encode — the same
+        exactness contract the streaming API pins (reference trial/state
+        chain: src/aad_encoder.c:470-562, :814-891). Measured on the
+        bench workload the one-shot wall is 45 ms host relayout + 148 ms
+        upload + 267 ms kernel + 27 ms dispatch (probe_encode_wrapper);
+        this path hides everything but the kernel and one chunk's ramp.
+        """
+        from ..ops.encode import CodecState
+        from ..ops.wire32 import wire_words_to_payload
+
+        geo = self.geometry
+        cfg = self.config
+        C = geo.num_channels
+        nspb = geo.num_samples_per_block
+        nblocks = num_blocks_for(num_samples, nspb)
+        cb = _OVERLAP_CHUNK_BLOCKS
+        n_chunks = -(-nblocks // cb)
+        span = cb * nspb
+
+        state = CodecState.zeros((C,))
+        prev = jnp.zeros((C, nspb), jnp.int32)
+        parts = []
+        for i in range(n_chunks):
+            b0 = i * cb
+            s0 = b0 * nspb
+            sl = pcm[:, s0 : s0 + span]
+            if sl.shape[1] < span:  # ragged tail chunk: zero-pad host-side
+                pad = np.zeros((C, span), dtype=np.int32)
+                pad[:, : sl.shape[1]] = sl
+                sl = pad
+            valid = np.minimum(
+                np.full(cb, nspb, dtype=np.int64),
+                np.maximum(
+                    num_samples - (b0 + np.arange(cb, dtype=np.int64)) * nspb,
+                    0,
+                ),
+            ).astype(np.int32)
+            words, (state, prev) = _encode_chunk_wire(
+                jnp.asarray(sl),
+                jnp.asarray(valid),
+                state,
+                prev,
+                jnp.int32(b0),
+                geo=geo,
+                num_trials=cfg.num_encode_trials,
+                ms=ms,
+                engine=engine,
+                chunk_blocks=cb,
+            )
+            copy_async = getattr(words, "copy_to_host_async", None)
+            if copy_async is not None:
+                copy_async()
+            parts.append((words, min(cb, nblocks - b0)))
+        rows = np.concatenate(
+            [np.asarray(w)[:real] for w, real in parts]
+        )
+        payload = wire_words_to_payload(rows, geo, num_samples)
+        return payload.tobytes()
 
 
 def encode(

@@ -176,47 +176,62 @@ def main() -> None:
     hdr_np, data_np = payload_to_words_split(payload, dec.geometry, nblocks)
     hdr_w, data_w = jnp.asarray(hdr_np), jnp.asarray(data_np)
 
-    kwargs = dict(
-        geo=dec.geometry,
-        num_blocks=nblocks,
-        bits_per_sample=header.bits_per_sample,
-        ms=False,
-        engine=resolve_engine("auto"),
-    )
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=(3,))
-    def run(hdr_w, data_w, token, iters):
-        # The whole iteration loop runs in ONE dispatch: each iteration
-        # perturbs one payload word with the previous iteration's token
-        # (serialising the chain) and the full decoded output rides in the
-        # loop carry, so XLA must materialise every iteration's samples —
-        # no dead-code elimination, no per-iteration tunnel round trips.
-        def body(_, carry):
-            hw, dw, out, tok = carry
-            dw = dw.at[0, 0].set((tok & 1).astype(jnp.uint32))
-            out = _device_pipeline_words(hw, dw, **kwargs)
-            return (hw, dw, out, out[(-1,) * out.ndim].astype(jnp.int32))
-
-        out0 = _device_pipeline_words(hdr_w, data_w, **kwargs)
-        return lax.fori_loop(
-            0, iters, body,
-            (hdr_w, data_w, out0, out0[(-1,) * out0.ndim].astype(jnp.int32)),
+    def make_run(ms: bool):
+        kwargs = dict(
+            geo=dec.geometry,
+            num_blocks=nblocks,
+            bits_per_sample=header.bits_per_sample,
+            ms=ms,
+            engine=resolve_engine("auto"),
         )
 
-    hdr_w, data_w, out, token = run(hdr_w, data_w, jnp.int32(0), ITERS)
-    float(token)  # warm-up + materialise
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def run(hdr_w, data_w, token, iters):
+            # The whole iteration loop runs in ONE dispatch: each iteration
+            # perturbs one payload word with the previous iteration's token
+            # (serialising the chain) and the full decoded output rides in
+            # the loop carry, so XLA must materialise every iteration's
+            # samples — no dead-code elimination, no per-iteration tunnel
+            # round trips.
+            def body(_, carry):
+                hw, dw, out, tok = carry
+                dw = dw.at[0, 0].set((tok & 1).astype(jnp.uint32))
+                out = _device_pipeline_words(hw, dw, **kwargs)
+                return (hw, dw, out, out[(-1,) * out.ndim].astype(jnp.int32))
 
-    t0 = time.time()
-    hdr_w, data_w, out, token = run(hdr_w, data_w, token, ITERS)
-    float(token)  # force the full chain
-    dt = (time.time() - t0) / (ITERS + 1)  # fori body + the init pipeline
+            out0 = _device_pipeline_words(hdr_w, data_w, **kwargs)
+            return lax.fori_loop(
+                0, iters, body,
+                (hdr_w, data_w, out0,
+                 out0[(-1,) * out0.ndim].astype(jnp.int32)),
+            )
+
+        return run
 
     samples = header.num_samples * header.num_channels
-    value = samples / dt
+
+    def timed_rate(run, iters):
+        hw, dw, out, token = run(hdr_w, data_w, jnp.int32(0), iters)
+        float(token)  # warm-up + materialise
+        t0 = time.time()
+        hw, dw, out, token = run(hdr_w, data_w, token, iters)
+        float(token)  # force the full chain
+        # fori body + the init pipeline
+        return samples / ((time.time() - t0) / (iters + 1))
+
+    value = timed_rate(make_run(ms=False), ITERS)
+    # The MS -> LR reconstruction pass (ops/decode.py::ms_to_lr; reference
+    # src/aad_decoder.c:458-470) on the same stream: its device cost was
+    # correctness-tested everywhere but recorded nowhere (VERDICT r4,
+    # item 6). Same methodology, same stream, ms=True pipeline.
+    ms_value = timed_rate(make_run(ms=True), ITERS)
     baseline, enc_baseline = measure_reference_baselines()
 
     enc_value = measure_encode()
     extra = {}
+    if ms_value:
+        extra["decode_ms_samples_per_sec"] = round(ms_value)
+        extra["decode_ms_vs_baseline"] = round(ms_value / baseline, 2)
     if enc_value:
         extra = {
             "encode_samples_per_sec": round(enc_value),

@@ -188,3 +188,32 @@ class TestParallelEncodeTPU:
             a = encode(pcm, cfg, engine="pallas", parallel_blocks=True, **kwargs)
             b = encode(pcm, cfg, engine="scan", parallel_blocks=True, **kwargs)
             assert a == b
+
+
+@requires_tpu
+def test_sequential_overlap_encode_bit_exact_on_hardware(monkeypatch):
+    """The round-5 chunked transfer-overlap sequential encode
+    (codec/encoder.py::Encoder._encode_sequential_overlap) must emit bytes
+    identical to the one-shot pallas path on real hardware, where
+    copy_to_host_async and the async carry chain actually pipeline through
+    the tunnel (the CPU suite pins the same property in interpret mode:
+    test_pallas_interpret.py::test_sequential_overlap_encode_matches_scan).
+    Cross-checked against the native host engine so the pallas pair cannot
+    share a bug.
+    """
+    import aad_tpu.codec.encoder as enc_mod
+    from aad_tpu import native
+    from aad_tpu.codec.encoder import EncodeConfig, encode
+
+    cfg = EncodeConfig(num_channels=2, sampling_rate=48000)
+    nspb = cfg.geometry().num_samples_per_block
+    n = 900 * nspb - 123  # > _OVERLAP_MIN_BLOCKS blocks, ragged tail
+    rng = np.random.default_rng(11)
+    pcm = rng.integers(-32768, 32768, (2, n)).astype(np.int32)
+
+    overlapped = encode(pcm, cfg, engine="pallas")
+    monkeypatch.setattr(enc_mod, "_OVERLAP_MIN_BLOCKS", 10**9)
+    oneshot = encode(pcm, cfg, engine="pallas")
+    assert overlapped == oneshot
+    if native.available():
+        assert native.encode(pcm, cfg) == oneshot

@@ -148,3 +148,94 @@ def test_overlap_pipeline_bit_exact_on_hardware():
         dec.decode_payload_ondevice(payload, overlap_blocks=512)
     )
     np.testing.assert_array_equal(whole, ragged)
+
+
+@requires_tpu
+class TestCompiledRandomGeometry:
+    """Random soak-style geometries through the COMPILED kernels on the
+    chip, with the reference binary as oracle (VERDICT round 4, item 4).
+
+    The CPU soak drives the fused engines in interpret mode only, and the
+    hardware suites pin fixed geometries — a Mosaic compilation quirk at
+    an odd nspb / W_CHUNK combination would slip past both. Seeds are
+    FIXED so the persistent compilation cache keeps reruns cheap; the
+    seed base (70_000) is disjoint from the suite's (1000+) and the
+    soak's (50_000+).
+    """
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_fuzz_both_directions_vs_reference(
+        self, seed, reference_cli, tmp_path
+    ):
+        import sys
+        import pathlib
+
+        sys.path.insert(0, str(pathlib.Path(__file__).parent))
+        from util import reference_decode, reference_encode, write_pcm16_wav
+
+        from aad_tpu import decode
+        from aad_tpu.codec.encoder import EncodeConfig, encode
+        from aad_tpu.format.wav import read_wav
+
+        rng = np.random.default_rng(70_000 + seed)
+        nch = int(rng.integers(1, 3))
+        bps = int(rng.integers(2, 5))
+        mbs = int(rng.integers(40 * nch, 1500))
+        ms = int(rng.integers(0, 2)) if nch == 2 else 0
+        trials = int(rng.integers(0, 5))
+        cfg = EncodeConfig(
+            num_channels=nch, sampling_rate=8000, bits_per_sample=bps,
+            max_block_size=mbs, ch_process_method=ms,
+            num_encode_trials=trials,
+        )
+        nspb = cfg.geometry().num_samples_per_block
+        n = int(rng.integers(1, 5 * nspb + 2))
+        pcm = rng.integers(-32768, 32768, (nch, n)).astype(np.int32)
+
+        wav = tmp_path / "in.wav"
+        write_pcm16_wav(wav, pcm, 8000)
+        ref = reference_encode(
+            reference_cli, wav, tmp_path / "ref.aad", bps=bps, block=mbs,
+            trials=trials, ms=ms == 1,
+        )
+        # compiled pallas encode == reference bytes
+        assert encode(pcm, cfg, engine="pallas") == ref, (
+            f"compiled encode diverged: seed={seed} cfg={cfg}"
+        )
+        # compiled fused decode == reference binary's decode
+        _, got = decode(ref, engine="fused")
+        ref_wav = reference_decode(
+            reference_cli, tmp_path / "ref.aad", tmp_path / "dec.wav"
+        )
+        _, want = read_wav(str(ref_wav))
+        np.testing.assert_array_equal(np.asarray(got), want >> 16)
+
+
+@requires_tpu
+def test_hour_scale_stream_device_decode():
+    """A ~1-hour stereo stream decodes through the chunked-overlap device
+    path, bit-identical to the native host engine (VERDICT round 4,
+    item 8; SURVEY §7.3's motivating scale: >= 3x10^8 samples, ~350k
+    blocks, reference block loop src/aad_decoder.c:514-534). The overlap
+    schedule's paste arithmetic, the shape bucketing and the wire-word
+    row slicing all cross the 2^31-byte-index neighbourhood here, which
+    no smaller case exercises.
+    """
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    import bench as B_mod
+    from aad_tpu import FILE_HEADER_SIZE, decode_header, native
+    from aad_tpu.codec.decoder import Decoder
+
+    data, _ = B_mod.build_synthetic_stream(48000 * 3600)
+    header = decode_header(data)
+    assert header.num_samples * header.num_channels >= 3 * 10**8
+    dec = Decoder.from_header(header, engine="fused")
+    payload = np.frombuffer(data, dtype=np.uint8)[FILE_HEADER_SIZE:]
+    pcm = np.asarray(dec.decode_payload_ondevice(payload))
+    assert pcm.shape == (2, header.num_samples)
+    if native.available():
+        _, want = native.decode(data)
+        np.testing.assert_array_equal(pcm, want.astype(np.int16))

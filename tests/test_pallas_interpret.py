@@ -328,3 +328,35 @@ def test_fused_decode_malformed_step_index_matches_scan():
         codes, si, wt, hi, bits_per_sample=4, engine="scan"
     )
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(scan))
+
+
+@pytest.mark.parametrize(
+    "nch,bps,ms,trials", [(2, 4, False, 2), (2, 4, True, 1)]
+)
+def test_sequential_overlap_encode_matches_scan(
+    monkeypatch, nch, bps, ms, trials
+):
+    """The chunked transfer-overlap sequential encode == one-shot bytes.
+
+    Round 5's encode mirror of the decoder's overlap schedule
+    (codec/encoder.py::Encoder._encode_sequential_overlap): chunks chain
+    the predictor carry, so bytes must equal the scan engine's one-shot
+    encode — ragged tail chunk and MS included. Chunk size is shrunk so
+    the CPU interpret run crosses several chunk boundaries.
+    """
+    import aad_tpu.codec.encoder as enc_mod
+    from aad_tpu.codec.encoder import EncodeConfig, encode
+
+    monkeypatch.setattr(enc_mod, "_OVERLAP_CHUNK_BLOCKS", 4)
+    monkeypatch.setattr(enc_mod, "_OVERLAP_MIN_BLOCKS", 6)
+    cfg = EncodeConfig(
+        num_channels=nch, sampling_rate=8000, bits_per_sample=bps,
+        max_block_size=256, ch_process_method=1 if ms else 0,
+        num_encode_trials=trials,
+    )
+    nspb = cfg.geometry().num_samples_per_block
+    n = 11 * nspb - 37  # 3 chunks, ragged final block in a ragged chunk
+    rng = np.random.default_rng(7)
+    pcm = rng.integers(-32768, 32768, (nch, n)).astype(np.int32)
+    want = encode(pcm, cfg, engine="scan")
+    assert encode(pcm, cfg, engine="pallas") == want
