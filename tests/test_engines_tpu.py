@@ -239,3 +239,29 @@ def test_hour_scale_stream_device_decode():
     if native.available():
         _, want = native.decode(data)
         np.testing.assert_array_equal(pcm, want.astype(np.int16))
+
+
+@requires_tpu
+def test_fused_compiled_u16_ceiling_geometry():
+    """The compiled fused decoder at the block-size wire field's u16
+    ceiling (65535 -> stereo block_size 65534, nspb 65502): the chunked
+    HBM-streaming DMA path at a six-figure nspb no grid cell reaches.
+    Oracle: the native engine (itself pinned to the reference binary at
+    this exact geometry by tests/test_native.py::TestWireCeilingGeometry).
+    """
+    from aad_tpu import decode, native
+    from aad_tpu.codec.encoder import EncodeConfig
+
+    if not native.available():
+        pytest.skip("native oracle unavailable")
+    cfg = EncodeConfig(
+        num_channels=2, sampling_rate=8000, bits_per_sample=4,
+        max_block_size=65535,
+    )
+    nspb = cfg.geometry().num_samples_per_block
+    rng = np.random.default_rng(1)
+    pcm = rng.integers(-32768, 32768, (2, nspb + nspb // 2)).astype(np.int32)
+    data = native.encode(pcm, cfg)
+    _, want = native.decode(data)
+    _, got = decode(data, engine="fused")
+    np.testing.assert_array_equal(np.asarray(got), want.astype(np.int16))

@@ -701,3 +701,43 @@ class TestMalformedStepIndex:
         monkeypatch.delenv("AADX_FORCE_SCALAR")
         _, got_simd = native.decode(data)
         np.testing.assert_array_equal(got_simd, want)
+
+
+class TestWireCeilingGeometry:
+    """The block-size wire field's u16 ceiling, pinned deterministically.
+
+    The soak draws large blocks log-uniformly (round 5); this fixes the
+    exact boundary — max_block_size 65535, the largest value the header's
+    u16 field can carry (write: reference src/aad_encoder.c:188-217) — so
+    the six-figure-nspb geometry math is pinned in-suite, not only
+    probabilistically. Mono and stereo, ragged second block.
+    """
+
+    @pytest.mark.parametrize("nch", [1, 2])
+    def test_u16_ceiling_matches_reference(
+        self, reference_cli, tmp_path, nch
+    ):
+        from util import reference_decode, reference_encode, write_pcm16_wav
+
+        cfg = EncodeConfig(
+            num_channels=nch, sampling_rate=8000, bits_per_sample=4,
+            max_block_size=65535,
+        )
+        nspb = cfg.geometry().num_samples_per_block
+        # mono packs the full 65535; stereo's 2-byte units leave one spare
+        assert cfg.geometry().block_size == (65535 if nch == 1 else 65534)
+        n = nspb + nspb // 2  # two blocks, second ragged
+        rng = np.random.default_rng(65535 + nch)
+        pcm = rng.integers(-32768, 32768, (nch, n)).astype(np.int32)
+        wav = tmp_path / "in.wav"
+        write_pcm16_wav(wav, pcm, 8000)
+        ref = reference_encode(
+            reference_cli, wav, tmp_path / "ref.aad", bps=4, block=65535
+        )
+        assert native.encode(pcm, cfg) == ref
+        _, dec = native.decode(ref)
+        ref_wav = reference_decode(
+            reference_cli, tmp_path / "ref.aad", tmp_path / "dec.wav"
+        )
+        _, want = read_wav(str(ref_wav))
+        np.testing.assert_array_equal(dec, want >> 16)
