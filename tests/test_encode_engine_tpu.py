@@ -73,7 +73,13 @@ class TestPallasEncode:
 class TestFusedEncodeKernel:
     """Single-execution whole-stream encode kernel (ops/pallas_encode_fused)."""
 
-    @pytest.mark.parametrize("bps,trials", [(4, 2), (3, 1), (2, 2), (4, 0)])
+    @pytest.mark.parametrize(
+        "bps,trials",
+        [(4, 2), (3, 1), (2, 2), (4, 0),
+         # deep searches: the 2N-slot schedule compiled on the chip at
+         # N>2 (the interpret suite pins 4/8 on CPU; VERDICT r4 item 2)
+         (4, 8)],
+    )
     def test_matches_scan(self, bps, trials):
         from aad_tpu.ops.encode import encode_stream_blocks_carry
         from aad_tpu.ops.pallas_encode_fused import encode_stream_fused

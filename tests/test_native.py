@@ -150,17 +150,10 @@ class TestFuzz:
             ch_process_method=seed % 2,
         )
         payload = rng.integers(0, 256, nblocks * geo.block_size, dtype=np.uint8)
-        # clamp each block's step index into range (the reference never
-        # writes out-of-range indices; out-of-range would read past the
-        # step table in C, which we reject by construction)
-        for b in range(nblocks):
-            off = b * geo.block_size
-            for ch in range(2):
-                tag = (int(payload[off + ch * 18]) << 8) | int(payload[off + ch * 18 + 1])
-                idx = min(tag >> 4, 4080)
-                tag = (idx << 4) | (tag & 0xF)
-                payload[off + ch * 18] = tag >> 8
-                payload[off + ch * 18 + 1] = tag & 0xFF
+        # Raw random block headers INCLUDING out-of-range step indices
+        # (4081-4095): since round 5 every engine pins those to table
+        # slot 255 (the reference's UB case — see TestMalformedStepIndex),
+        # so the fuzz no longer needs to clamp them out.
         data = encode_header(h) + payload.tobytes()
 
         _, out_native = native.decode(data)
@@ -738,6 +731,43 @@ class TestWireCeilingGeometry:
         _, dec = native.decode(ref)
         ref_wav = reference_decode(
             reference_cli, tmp_path / "ref.aad", tmp_path / "dec.wav"
+        )
+        _, want = read_wav(str(ref_wav))
+        np.testing.assert_array_equal(dec, want >> 16)
+
+
+class TestTinyStreamReferenceOverflow:
+    """Streams the reference CLI cannot produce (round-5 finding).
+
+    The reference CLI sizes its encode output buffer as the input WAV's
+    file size (reference: src/main.c:171-172) and heap-overflows whenever
+    the encoded stream is larger — e.g. 3 stereo samples at -s 40: a
+    56-byte WAV but a 67-byte minimum stream (31-byte file header + one
+    36-byte block header). docs/DESIGN.md §7 records the find. Our
+    encoders must handle the input, and the reference DECODER (which
+    sizes from the header) must accept our bytes and reproduce our
+    samples — the strongest oracle available when the reference encoder
+    cannot run.
+    """
+
+    def test_tiny_stream_encodes_and_reference_decodes(
+        self, reference_cli, tmp_path
+    ):
+        from util import reference_decode
+
+        cfg = EncodeConfig(
+            num_channels=2, sampling_rate=8000, bits_per_sample=2,
+            max_block_size=40,
+        )
+        rng = np.random.default_rng(112)
+        pcm = rng.integers(-512, 512, (2, 3)).astype(np.int32)
+        ours = native.encode(pcm, cfg)
+        assert ours == jax_encode(pcm, cfg, engine="scan")
+        assert len(ours) == 67  # 31-byte file header + one block header
+        _, dec = native.decode(ours)
+        (tmp_path / "o.aad").write_bytes(ours)
+        ref_wav = reference_decode(
+            reference_cli, tmp_path / "o.aad", tmp_path / "o.wav"
         )
         _, want = read_wav(str(ref_wav))
         np.testing.assert_array_equal(dec, want >> 16)

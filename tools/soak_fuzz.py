@@ -127,7 +127,7 @@ def main(n_seeds: int = 400, record: str | None = None) -> int:
 
     bad = 0
     counts = {"native": 0, "scan": 0, "fused": 0, "depth": 0,
-              "reject_parity": 0}
+              "reject_parity": 0, "ref_cli_overflow": 0}
     deep_trials = big_blocks = tiny_blocks = 0
     for seed in range(n_seeds):
         if seed % JAX_EVERY == 0:
@@ -181,8 +181,35 @@ def main(n_seeds: int = 400, record: str | None = None) -> int:
                 f.unlink()
             continue
         counts["native"] += 1
-        ref = reference_encode(binary, wav, work / f"s{seed}.aad", bps=bps,
-                               block=mbs, trials=trials, ms=ms == 1)
+        try:
+            ref = reference_encode(binary, wav, work / f"s{seed}.aad",
+                                   bps=bps, block=mbs, trials=trials,
+                                   ms=ms == 1)
+        except subprocess.CalledProcessError as e:
+            # The reference CLI sizes its OUTPUT buffer as the input WAV's
+            # file size (src/main.c:171-172) and heap-overflows whenever
+            # the encoded stream is larger — any stream tiny enough that
+            # 31 + 36*blocks exceeds the WAV (found by this round's
+            # near-minimum-block widening; "double free or corruption"
+            # abort). Verify that precondition so an unexpected crash
+            # cannot hide here, then fall back to the reference DECODER
+            # as oracle: it sizes from the header and must accept our
+            # bytes and reproduce our samples exactly.
+            if e.returncode != -6 or len(ours) <= wav.stat().st_size:
+                raise
+            counts["ref_cli_overflow"] += 1
+            (work / f"o{seed}.aad").write_bytes(ours)
+            ref_wav = reference_decode(binary, work / f"o{seed}.aad",
+                                       work / f"o{seed}_dec.wav")
+            _, ref_pcm = read_wav(str(ref_wav))
+            _, dec = native.decode(ours)
+            if not np.array_equal(np.asarray(dec), ref_pcm >> 16):
+                bad += 1
+                print(f"OVERFLOW-SEED DECODE DIVERGENCE seed={seed} "
+                      f"cfg={cfg}")
+            for f in work.iterdir():
+                f.unlink()
+            continue
         if ours != ref:
             bad += 1
             print(f"ENCODE DIVERGENCE seed={seed} cfg={cfg}")
@@ -241,20 +268,28 @@ def main(n_seeds: int = 400, record: str | None = None) -> int:
                 num_channels=nch, sampling_rate=8000,
                 bits_per_sample=depth, num_samples=n,
             ), canonical)
-            dref = reference_encode(
-                binary, dwav, work / f"d{seed}.aad", bps=bps, block=mbs,
-                trials=trials, ms=ms == 1,
-            )
             encode_file(
                 str(dwav), str(work / f"d{seed}_ours.aad"),
                 bits_per_sample=bps, max_block_size=mbs, ms=ms == 1,
                 num_encode_trials=trials, engine="native",
             )
-            if (work / f"d{seed}_ours.aad").read_bytes() != dref:
-                bad += 1
-                print(f"DEPTH-INGEST DIVERGENCE seed={seed} depth={depth} "
-                      f"cfg={cfg}")
-                continue
+            d_ours = (work / f"d{seed}_ours.aad").read_bytes()
+            try:
+                dref = reference_encode(
+                    binary, dwav, work / f"d{seed}.aad", bps=bps,
+                    block=mbs, trials=trials, ms=ms == 1,
+                )
+            except subprocess.CalledProcessError as e:
+                # same output-buffer overflow as above, at another depth
+                if e.returncode != -6 or len(d_ours) <= dwav.stat().st_size:
+                    raise
+                counts["ref_cli_overflow"] += 1
+            else:
+                if d_ours != dref:
+                    bad += 1
+                    print(f"DEPTH-INGEST DIVERGENCE seed={seed} "
+                          f"depth={depth} cfg={cfg}")
+                    continue
 
         # block-parallel conformance: the framework's own mode must emit a
         # stream the REFERENCE decoder accepts and that our decoder reads
@@ -284,6 +319,7 @@ def main(n_seeds: int = 400, record: str | None = None) -> int:
         f"native={counts['native']} scan={counts['scan']} "
         f"fused={counts['fused']} depth-ingest={counts['depth']} "
         f"reject-parity={counts['reject_parity']} "
+        f"ref-cli-overflow={counts['ref_cli_overflow']} "
         f"(scan/fused compared DIRECTLY against the reference binary); "
         f"space: deep-trials(3-8)={deep_trials} "
         f"big-blocks(>=1200)={big_blocks} near-min-blocks={tiny_blocks}"
