@@ -28,7 +28,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..codec.result import InsufficientDataError
-from ..constants import FILE_HEADER_SIZE, FILTER_ORDER, TABLES_FLOAT_DIGITS
+from ..constants import (
+    FILE_HEADER_SIZE,
+    FILTER_ORDER,
+    STEP_INDEX_MAX,
+    TABLES_FLOAT_DIGITS,
+)
 from ..format.geometry import (
     BlockGeometry,
     encoded_block_bytes,
@@ -118,7 +123,12 @@ def parse_block_headers(blocks, geo: BlockGeometry) -> BlockStates:
     for ch in range(nch):
         base = ch * per_ch
         tag = _u16be(blocks, base)
-        step_index.append(tag >> TABLES_FLOAT_DIGITS)
+        # Parse-clamp: the 12-bit wire field reaches (4080, 4095] only on
+        # malformed streams (slot 256, out of the step table — UB in the
+        # reference, src/aad_tables.h:28); every engine pins those to
+        # 4080 at header parse so adversarial input cannot diverge them.
+        step_index.append(xp.minimum(tag >> TABLES_FLOAT_DIGITS,
+                                     STEP_INDEX_MAX))
         shift = tag & 0xF
         w_taps, h_taps = [], []
         for k in range(FILTER_ORDER):

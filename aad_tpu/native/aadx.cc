@@ -215,7 +215,11 @@ size_t decode_block(const uint8_t* p, const AadxInfo& info, const Geometry& g,
   for (uint32_t ch = 0; ch < nch; ++ch) {
     const uint32_t tag = rd_u16(p);
     p += 2;
-    lms[ch].idx = int32_t(tag >> kQ4);
+    // Parse-clamp: a malformed 12-bit wire index in (4080, 4095] pins to
+    // the table maximum — the framework-defined semantics for the
+    // reference's UB case, applied identically at every engine's header
+    // parse (format/framing.py, ops/wire32.py, and here).
+    lms[ch].idx = std::min(int32_t(tag >> kQ4), kIndexMax);
     const uint32_t shift = tag & 0xF;
     for (int k = 0; k < kFilterOrder; ++k) {
       lms[ch].w[k] = int32_t(int16_t(rd_u16(p))) << shift;
@@ -555,7 +559,8 @@ void decode_chunk_simd(const uint8_t* data, size_t off0, uint32_t b0,
       const size_t bs = off0 + size_t(bi) * g.block_size;
       const uint8_t* hp = data + bs + ch * (2 + 4 * kFilterOrder);
       const uint32_t tag = rd_u16(hp);
-      ibuf[grp][l] = int32_t(tag >> kQ4);
+      // parse-clamp malformed wire indices (see decode_block)
+      ibuf[grp][l] = std::min(int32_t(tag >> kQ4), kIndexMax);
       const uint32_t shift = tag & 0xF;
       for (int k = 0; k < kFilterOrder; ++k) {
         wbuf[grp][k][l] = int32_t(int16_t(rd_u16(hp + 2 + 4 * k))) << shift;

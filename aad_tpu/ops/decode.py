@@ -33,6 +33,7 @@ from ..constants import (
     FIXEDPOINT_0_5,
     FIXEDPOINT_DIGITS,
     LMSFILTER_SHIFT,
+    STEP_INDEX_MAX,
 )
 from . import cseman as cs
 from .transitions import quantized_diff, step_index_prefix, stepsize_from_index
@@ -125,6 +126,11 @@ def _decode_blocks_impl(
       (history reversed, reference: src/aad_decoder.c:386-391) followed by the
       T decoded samples.
     """
+    # Parse-clamp semantics for the codes-level API: wire indices in
+    # (4080, 4095] — reachable only from malformed block headers; UB in
+    # the reference — pin to the table maximum, matching every parse
+    # point (format/framing.py, ops/wire32.py, native/aadx.cc).
+    step_index = cs.clip(step_index, 0, STEP_INDEX_MAX)
     if engine == "fused":
         from .pallas_decode import decode_fused
 

@@ -161,13 +161,11 @@ def _decode_word_step(
         code = (word >> (4 * k)) & 0xF
         mag = code & absmask
 
-        # step size from the verified formula (+ corrections); the min
-        # pins the malformed-header case (wire index > 4080 -> slot 256,
-        # UB in the reference) to slot 255, matching the scan engine's
-        # clip-mode lookup (ops/transitions.py::stepsize_from_index).
-        slot = jnp.minimum(
-            (idx + TABLES_FLOAT_0_5) >> TABLES_FLOAT_DIGITS, 255
-        )
+        # step size from the verified formula (+ corrections). idx stays
+        # in [0, 4080] by construction: every header parse clamps the
+        # 12-bit wire field (the reference's UB case) BEFORE the kernel,
+        # so no per-sample slot min is needed in this dependent chain.
+        slot = (idx + TABLES_FLOAT_0_5) >> TABLES_FLOAT_DIGITS
         stepsize = _stepsize_f32(slot).astype(jnp.int32)
         for s, d in corrections:
             stepsize = stepsize + jnp.where(slot == s, jnp.int32(d), jnp.int32(0))

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import FILTER_ORDER, TABLES_FLOAT_DIGITS
+from ..constants import FILTER_ORDER, STEP_INDEX_MAX, TABLES_FLOAT_DIGITS
 from ..format.geometry import BlockGeometry
 
 __all__ = [
@@ -221,7 +221,11 @@ def parse_block_headers_u32(words: jax.Array, geo: BlockGeometry):
     for ch in range(nch):
         base = ch * per_ch
         tag = _u16be_at(words, base)
-        step_index.append(tag >> TABLES_FLOAT_DIGITS)
+        # Parse-clamp malformed 12-bit indices in (4080, 4095] to the
+        # table maximum — the framework-defined semantics for the
+        # reference's UB case (see format/framing.py::parse_block_headers)
+        step_index.append(jnp.minimum(tag >> TABLES_FLOAT_DIGITS,
+                                      STEP_INDEX_MAX))
         shift = tag & 0xF
         w_taps, h_taps = [], []
         for k in range(FILTER_ORDER):

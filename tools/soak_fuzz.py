@@ -190,12 +190,13 @@ def main(n_seeds: int = 400, record: str | None = None) -> int:
             # file size (src/main.c:171-172) and heap-overflows whenever
             # the encoded stream is larger — any stream tiny enough that
             # 31 + 36*blocks exceeds the WAV (found by this round's
-            # near-minimum-block widening; "double free or corruption"
-            # abort). Verify that precondition so an unexpected crash
-            # cannot hide here, then fall back to the reference DECODER
-            # as oracle: it sizes from the header and must accept our
-            # bytes and reproduce our samples exactly.
-            if e.returncode != -6 or len(ours) <= wav.stat().st_size:
+            # near-minimum-block widening; aborts as "double free or
+            # corruption" or segfaults outright depending on how far the
+            # write lands). Verify that precondition so an unexpected
+            # crash cannot hide here, then fall back to the reference
+            # DECODER as oracle: it sizes from the header and must accept
+            # our bytes and reproduce our samples exactly.
+            if e.returncode not in (-6, -11) or len(ours) <= wav.stat().st_size:
                 raise
             counts["ref_cli_overflow"] += 1
             (work / f"o{seed}.aad").write_bytes(ours)
@@ -281,7 +282,8 @@ def main(n_seeds: int = 400, record: str | None = None) -> int:
                 )
             except subprocess.CalledProcessError as e:
                 # same output-buffer overflow as above, at another depth
-                if e.returncode != -6 or len(d_ours) <= dwav.stat().st_size:
+                if (e.returncode not in (-6, -11)
+                        or len(d_ours) <= dwav.stat().st_size):
                     raise
                 counts["ref_cli_overflow"] += 1
             else:
