@@ -243,11 +243,17 @@ def main() -> None:
         extra["encode_single_stream_vs_baseline"] = round(
             single_value / enc_baseline, 2
         )
-    single_tpu = measure_encode_single_stream_tpu()
+    single_tpu, single_tpu_kernel = measure_encode_single_stream_tpu()
     if single_tpu:
         extra["encode_single_stream_tpu_samples_per_sec"] = round(single_tpu)
         extra["encode_single_stream_tpu_vs_baseline"] = round(
             single_tpu / enc_baseline, 2
+        )
+    if single_tpu_kernel:
+        # device steady state behind the e2e number above — the wrapper of
+        # a locally-attached chip approaches this (DESIGN §3, round 5)
+        extra["encode_single_stream_tpu_kernel_samples_per_sec"] = round(
+            single_tpu_kernel
         )
     e2e = measure_decode_e2e(data, header)
     if e2e:
@@ -630,15 +636,31 @@ def measure_encode_single_stream_tpu():
     FORCED to the TPU Pallas path — the hybrid auto metric routes a lone
     sequential stream to the native host engine (the serial per-sample
     chain is latency-bound on the VPU, docs/DESIGN.md §3), so this records
-    what the TPU itself sustains. Returns samples/s; 0 on failure (e.g. no
-    TPU: the kernel path is TPU-only in production).
+    what the TPU itself sustains. Since round 5 the call auto-takes the
+    chunked transfer-overlap schedule (encoder._encode_sequential_overlap).
+
+    Returns ``(e2e_samples_per_sec, kernel_samples_per_sec)``: e2e is the
+    full ``encode()`` wall (host staging + transport + kernel through a
+    tunnel-attached chip); kernel is the device steady state from a
+    token-chained in-jit loop (the other metrics' methodology) — what the
+    wrapper of a locally-attached chip would approach. (0, 0) on failure.
     """
     try:
+        import functools
+
         import jax
+        import jax.numpy as jnp
+        from jax import lax
 
         if jax.devices()[0].platform != "tpu":
-            return 0
-        from aad_tpu.codec.encoder import EncodeConfig, encode
+            return 0, 0
+        from aad_tpu.codec.encoder import (
+            EncodeConfig,
+            _encode_device_wire,
+            _pad_to_blocks,
+            encode,
+            resolve_encode_engine,
+        )
 
         cfg = EncodeConfig(num_channels=NCH, sampling_rate=RATE)
         n = RATE * 30
@@ -651,9 +673,40 @@ def measure_encode_single_stream_tpu():
             t0 = time.time()
             encode(pcm, cfg, engine="pallas")
             best = max(best, n * NCH / (time.time() - t0))
-        return best
-    except Exception:
-        return 0
+
+        # kernel-only steady state (attribution for the e2e number)
+        engine = resolve_encode_engine("pallas")
+        geo = cfg.geometry()
+        blocks, valid, _ = _pad_to_blocks(pcm, geo)
+        bd, vd = jax.device_put(blocks), jax.device_put(valid)
+        kwargs = dict(geo=geo, num_trials=cfg.num_encode_trials, ms=False,
+                      engine=engine)
+        K_ITERS = 16
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def krun(bl, tok, iters):
+            def body(_, carry):
+                b, out, tk = carry
+                b = b.at[0, 0, 0].set(tk)
+                out = _encode_device_wire(b, vd, **kwargs)
+                return (b, out, out[-1, -1].astype(jnp.int32))
+
+            out0 = _encode_device_wire(bl, vd, **kwargs)
+            return lax.fori_loop(
+                0, iters, body, (bl, out0, out0[-1, -1].astype(jnp.int32))
+            )
+
+        _, _, tok = krun(bd, jnp.int32(0), K_ITERS)
+        int(tok)  # warm
+        t0 = time.time()
+        _, _, tok = krun(bd, jnp.int32(1), K_ITERS)
+        int(tok)
+        kernel = n * NCH / ((time.time() - t0) / (K_ITERS + 1))
+        return best, kernel
+    except Exception as exc:  # noqa: BLE001 - metric is best-effort
+        print(f"measure_encode_single_stream_tpu failed: {exc!r}",
+              file=sys.stderr)
+        return 0, 0
 
 
 def measure_encode_single_stream():
