@@ -163,8 +163,38 @@ def _device_pipeline_words(
         # device-side unpack pass disappears entirely.
         samples = decode_words_timemajor(
             kw, si, hi, wt, T + 4, bits_per_sample=bits_per_sample,
-            with_head=True, packed_out=not ms,
+            with_head=True, packed_out=True,
         )
+        if ms:
+            # MS recombination in PACKED WORD SPACE (round 5; measured on
+            # the 57.6 M-sample headline stream): the obvious spellings
+            # all trip TPU relayouts — unpacked int16 rows + lane slices
+            # hit the int16(16,128) <-> int32(8,128) retile on every cast
+            # (12.7 G samples/s), and a u32 -> int16 bitcast lowers
+            # catastrophically (1.2 G). Staying width-preserving — bitcast
+            # the packed sample-pair words to int32, sign-extract the two
+            # halves with shifts, clip/combine, repack — keeps every
+            # operand in the (8, 128) tile the kernel already produced:
+            # 23.7 G samples/s, bit-exact. The remaining gap to the
+            # non-MS headline (~0.5x) is the combine's extra read+write
+            # of the full stream plus the XLA materialisation of the
+            # concatenated halves, recorded in DESIGN §2.
+            from ..ops import cseman as cs
+
+            wi = jax.lax.bitcast_convert_type(
+                samples.reshape(C * B, -1), jnp.int32
+            )
+            mid, side = wi[:B], wi[B:]
+            m_lo, m_hi = (mid << 16) >> 16, mid >> 16
+            s_lo, s_hi = (side << 16) >> 16, side >> 16
+            l_w = ((cs.clip16(m_lo + s_lo) & 0xFFFF)
+                   | (cs.clip16(m_hi + s_hi) << 16))
+            r_w = ((cs.clip16(m_lo - s_lo) & 0xFFFF)
+                   | (cs.clip16(m_hi - s_hi) << 16))
+            out = jnp.concatenate([l_w, r_w]).reshape(-1)
+            # packed pairs: byte-identical to the int16 stream (the same
+            # host .view contract as the non-MS packed return)
+            return jax.lax.bitcast_convert_type(out, jnp.uint32)
         if not ms:
             # 2-D (C*B, nspb//2) u32 sample-pair words, layout
             # compiler-chosen — on TPU, XLA keeps the kernel's time-major
@@ -194,11 +224,14 @@ def _device_pipeline_words(
     if ms:
         from ..ops import cseman as cs
 
-        # Recombine in int32 (mid +/- side overflows int16), write int16.
-        mid = samples[:B].astype(jnp.int32)
-        side = samples[B:].astype(jnp.int32)
-        samples = jnp.concatenate(
-            [cs.clip16(mid + side), cs.clip16(mid - side)], axis=0
+        # Recombine in int32 (mid +/- side overflows int16), write int16 —
+        # on the linearised stream, same rationale as the fused branch.
+        flat16 = samples.reshape(-1)
+        half = flat16.size // 2
+        mid = flat16[:half].astype(jnp.int32)
+        side = flat16[half:].astype(jnp.int32)
+        return jnp.concatenate(
+            [cs.clip16(mid + side), cs.clip16(mid - side)]
         ).astype(jnp.int16)
     return samples.reshape(-1)  # flat: unique layout, free host view
 

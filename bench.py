@@ -233,10 +233,8 @@ def main() -> None:
         extra["decode_ms_samples_per_sec"] = round(ms_value)
         extra["decode_ms_vs_baseline"] = round(ms_value / baseline, 2)
     if enc_value:
-        extra = {
-            "encode_samples_per_sec": round(enc_value),
-            "encode_vs_baseline": round(enc_value / enc_baseline, 2),
-        }
+        extra["encode_samples_per_sec"] = round(enc_value)
+        extra["encode_vs_baseline"] = round(enc_value / enc_baseline, 2)
     single_value = measure_encode_single_stream()
     if single_value:
         extra["encode_single_stream_samples_per_sec"] = round(single_value)
