@@ -204,6 +204,25 @@ class TestOverlapPipeline:
         got = dec.decode_payload_ondevice(payload, overlap_blocks=500)
         np.testing.assert_array_equal(whole, got)
 
+    def test_fused_overlap_ms_matches_whole_and_scan(self):
+        """MS streams through the fused overlap path: the round-5
+        word-space recombination returns packed u32, so the chunk paste's
+        dtype view and the trim slice must stay bit-exact under MS too."""
+        from aad_tpu import Decoder
+
+        h, payload = self._stream(2, 4, True, 67000)
+        fused = Decoder.from_header(h, engine="fused")
+        whole = np.asarray(
+            fused.decode_payload_ondevice(payload, overlap_blocks=0)
+        )
+        got = fused.decode_payload_ondevice(payload, overlap_blocks=512)
+        np.testing.assert_array_equal(whole, got)
+        scan = Decoder.from_header(h, engine="scan")
+        want = np.asarray(
+            scan.decode_payload_ondevice(payload, overlap_blocks=0)
+        )
+        np.testing.assert_array_equal(whole, want.astype(whole.dtype))
+
     def test_negative_overlap_blocks_raises(self):
         """A negative chunk size must raise, not silently return zeros
         (range(negative_chunk_count) is empty, so the dispatch loop would

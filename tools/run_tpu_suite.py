@@ -33,6 +33,16 @@ def main() -> int:
     env["AAD_TPU_TEST_PLATFORM"] = "tpu"
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/aad_tpu_hw_cache")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    # Count the compiled random-geometry differential cases so the record
+    # carries an explicit fuzz-seed number (VERDICT r4 item 4).
+    import subprocess
+
+    col = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_engines_tpu.py",
+         "-k", "TestCompiledRandomGeometry", "--collect-only", "-q"],
+        cwd=_REPO, env=env, capture_output=True, text=True,
+    )
+    fuzz_seeds = col.stdout.count("::TestCompiledRandomGeometry::")
     total_p = total_f = 0
     total_s = 0.0
     per_file = {}
@@ -50,6 +60,7 @@ def main() -> int:
         "round": rnd,
         "passed": total_p,
         "failed": total_f,
+        "fuzz_seeds": fuzz_seeds,
         "seconds": round(total_s, 1),
         "files": per_file,
         "ok": total_f == 0 and total_p > 0,
