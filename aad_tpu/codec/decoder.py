@@ -195,18 +195,17 @@ def _device_pipeline_words(
             # packed pairs: byte-identical to the int16 stream (the same
             # host .view contract as the non-MS packed return)
             return jax.lax.bitcast_convert_type(out, jnp.uint32)
-        if not ms:
-            # 2-D (C*B, nspb//2) u32 sample-pair words, layout
-            # compiler-chosen — on TPU, XLA keeps the kernel's time-major
-            # buffer and hands back a transposed-layout view (a bitcast),
-            # which is the jax-native contract for device-resident results
-            # (any downstream jit consumes it at full speed; layout APIs
-            # are ignored by this backend, so pinning row-major here is
-            # not possible anyway). Host-export callers must linearise
-            # first via _linearize_jit: an in-jit flatten materialises the
-            # unique 1-D order (~0.34 ms per 57.6 M samples, two XLA
-            # relayout passes) and makes np.asarray a straight stream.
-            return samples
+        # Non-MS: 2-D (C*B, nspb//2) u32 sample-pair words, layout
+        # compiler-chosen — on TPU, XLA keeps the kernel's time-major
+        # buffer and hands back a transposed-layout view (a bitcast),
+        # which is the jax-native contract for device-resident results
+        # (any downstream jit consumes it at full speed; layout APIs
+        # are ignored by this backend, so pinning row-major here is
+        # not possible anyway). Host-export callers must linearise
+        # first via _linearize_jit: an in-jit flatten materialises the
+        # unique 1-D order (~0.34 ms per 57.6 M samples, two XLA
+        # relayout passes) and makes np.asarray a straight stream.
+        return samples
     else:
         from ..ops.decode import compute_qdiffs, lms_scan
 

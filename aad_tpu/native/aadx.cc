@@ -110,7 +110,7 @@ struct Lms {
   // clip-mode lookup. Valid streams never reach it; the cmov is noise
   // next to the quantiser idiv.
   int32_t stepsize() const {
-    return tables().step[std::min((idx + kQ4Half) >> kQ4, 255)];
+    return tables().step[std::max(0, std::min((idx + kQ4Half) >> kQ4, 255))];
   }
 
   void adapt_index(uint32_t code, uint32_t bps) {
@@ -438,11 +438,13 @@ inline __m512i step16(LaneState& s, __m512i code, const int32_t* steptab,
   const __m512i absmask = _mm512_set1_epi32((1 << (BPS - 1)) - 1);
   const __m512i signbit = _mm512_set1_epi32(1 << (BPS - 1));
   const __m512i halfv = _mm512_set1_epi32(kHalf);
-  // min: malformed-header slot 256 -> 255 (see Lms::stepsize).
-  const __m512i slot = _mm512_min_epi32(
-      _mm512_srai_epi32(
-          _mm512_add_epi32(s.idx, _mm512_set1_epi32(kQ4Half)), kQ4),
-      _mm512_set1_epi32(255));
+  // clamp: malformed-state slots pin into [0, 255] (see Lms::stepsize).
+  const __m512i slot = _mm512_max_epi32(
+      _mm512_min_epi32(
+          _mm512_srai_epi32(
+              _mm512_add_epi32(s.idx, _mm512_set1_epi32(kQ4Half)), kQ4),
+          _mm512_set1_epi32(255)),
+      _mm512_setzero_si512());
   const __m512i st = _mm512_i32gather_epi32(slot, steptab, 4);
   const __m512i mag = _mm512_and_si512(code, absmask);
   __m512i q = _mm512_srai_epi32(
@@ -772,12 +774,16 @@ inline void enc_step16(LaneState& s, __m512i x, const int32_t* steptab,
   const __m512i zero = _mm512_setzero_si512();
   const __m512i one = _mm512_set1_epi32(1);
   const __m512i halfv = _mm512_set1_epi32(kHalf);
-  // min: keeps user-supplied carry states (aadx_encode_chunk) in the
-  // table even when forged; in-contract states never reach it.
-  const __m512i slot = _mm512_min_epi32(
-      _mm512_srai_epi32(
-          _mm512_add_epi32(s.idx, _mm512_set1_epi32(kQ4Half)), kQ4),
-      _mm512_set1_epi32(255));
+  // clamp: keeps user-supplied carry states (aadx_encode_chunk) in the
+  // table even when forged — two-sided, since a forged idx can be
+  // negative; in-contract states never reach it (the carry load also
+  // clamps).
+  const __m512i slot = _mm512_max_epi32(
+      _mm512_min_epi32(
+          _mm512_srai_epi32(
+              _mm512_add_epi32(s.idx, _mm512_set1_epi32(kQ4Half)), kQ4),
+          _mm512_set1_epi32(255)),
+      _mm512_setzero_si512());
   const __m512i st = _mm512_i32gather_epi32(slot, steptab, 4);
   __m512i acc = halfv;
   for (int k = 0; k < kFilterOrder; ++k)
@@ -1455,7 +1461,11 @@ static int encode_impl(const int32_t* pcm, uint32_t num_channels,
       for (int k = 0; k < kFilterOrder; ++k) state[ch].h[k] = s[k];
       for (int k = 0; k < kFilterOrder; ++k)
         state[ch].w[k] = s[kFilterOrder + k];
-      state[ch].idx = s[2 * kFilterOrder];
+      // Clamp like the decode header parse: a forged carry state with a
+      // negative or >kIndexMax idx must stay inside the step table (the
+      // per-step slot mins below are one-sided backstops only).
+      state[ch].idx =
+          std::max(0, std::min(s[2 * kFilterOrder], kIndexMax));
       if (blocks_before > 0)
         std::memcpy(prev[ch].data(), prev_io + size_t(ch) * nspb,
                     sizeof(int32_t) * nspb);

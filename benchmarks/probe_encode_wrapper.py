@@ -105,8 +105,6 @@ def main(rounds: int = 5) -> None:
         w.block_until_ready()
         return w
 
-    wnp = np.asarray(words)
-
     def stage_download_assemble():
         w = np.asarray(words)
         return wire_words_to_payload(w, geo, n)

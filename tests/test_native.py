@@ -771,3 +771,26 @@ class TestTinyStreamReferenceOverflow:
         )
         _, want = read_wav(str(ref_wav))
         np.testing.assert_array_equal(dec, want >> 16)
+
+
+class TestForgedCarryState:
+    """A forged carry state through the public encode_chunk API must stay
+    inside the step table (round-5 review finding: the per-step slot min
+    was one-sided, so a negative idx — or INT32_MAX, which wraps negative
+    under -fwrapv after the rounding add — indexed out of bounds). The
+    carry load now clamps to [0, 4080] like the decode header parse, so a
+    forged idx behaves exactly as its clamped value."""
+
+    @pytest.mark.parametrize("forged,clamped", [(-4096, 0), (2**31 - 1, 4080)])
+    def test_forged_idx_equals_clamped(self, forged, clamped):
+        cfg = EncodeConfig(num_channels=2, sampling_rate=8000,
+                           max_block_size=256)
+        nspb = cfg.geometry().num_samples_per_block
+        pcm = noise(3 * nspb, 2, seed=77)
+        state_f, prev_f = native.stream_state(cfg)
+        state_c, prev_c = native.stream_state(cfg)
+        state_f[:, 8] = forged
+        state_c[:, 8] = clamped
+        got = native.encode_chunk(pcm, cfg, state_f, prev_f, 1)
+        want = native.encode_chunk(pcm, cfg, state_c, prev_c, 1)
+        assert got == want

@@ -42,7 +42,12 @@ def main() -> int:
          "-k", "TestCompiledRandomGeometry", "--collect-only", "-q"],
         cwd=_REPO, env=env, capture_output=True, text=True,
     )
-    fuzz_seeds = col.stdout.count("::TestCompiledRandomGeometry::")
+    # null in the record = collection itself failed (the count would be a
+    # silent 0 misstating coverage); the suite run below still decides ok.
+    fuzz_seeds = (
+        col.stdout.count("::TestCompiledRandomGeometry::")
+        if col.returncode == 0 else None
+    )
     total_p = total_f = 0
     total_s = 0.0
     per_file = {}

@@ -172,10 +172,14 @@ def main(n_seeds: int = 400, record: str | None = None) -> int:
                 + [str(wav), str(work / f"s{seed}.aad")],
                 capture_output=True, timeout=120,
             ).returncode
-            if rc == 0:
+            # Parity means the reference REJECTS CLEANLY (positive exit
+            # code). rc == 0 (it accepts) and rc < 0 (it accepted the
+            # config far enough to crash while encoding) are both
+            # divergences from our rejection.
+            if rc <= 0:
                 bad += 1
                 print(f"REJECTION DIVERGENCE seed={seed} cfg={cfg}: "
-                      f"we reject, reference accepts")
+                      f"we reject, reference rc={rc}")
             counts["reject_parity"] += 1
             for f in work.iterdir():
                 f.unlink()
