@@ -223,3 +223,38 @@ def test_sequential_overlap_encode_bit_exact_on_hardware(monkeypatch):
     assert overlapped == oneshot
     if native.available():
         assert native.encode(pcm, cfg) == oneshot
+
+
+@requires_tpu
+class TestOverlapEncodeRandomGeometry:
+    """The round-5 overlap encode path at random compiled geometries on
+    the chip, native engine as oracle (the compiled random-geometry fuzz
+    in test_engines_tpu.py stays below the overlap threshold, so this is
+    the only randomized coverage of the chunk-carry chain + on-device
+    relayout at production chunking). Fixed seeds keep the compilation
+    cache warm; seed base 80_000 is disjoint from every other suite."""
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_overlap_matches_native(self, seed):
+        import aad_tpu.codec.encoder as enc_mod
+        from aad_tpu import native
+        from aad_tpu.codec.encoder import EncodeConfig, encode
+
+        if not native.available():
+            pytest.skip("native oracle unavailable")
+        rng = np.random.default_rng(80_000 + seed)
+        nch = int(rng.integers(1, 3))
+        bps = int(rng.integers(2, 5))
+        mbs = int(rng.integers(40 * nch, 700))
+        ms = int(rng.integers(0, 2)) if nch == 2 else 0
+        trials = int(rng.integers(0, 3))
+        cfg = EncodeConfig(
+            num_channels=nch, sampling_rate=8000, bits_per_sample=bps,
+            max_block_size=mbs, ch_process_method=ms,
+            num_encode_trials=trials,
+        )
+        nspb = cfg.geometry().num_samples_per_block
+        lo = enc_mod._OVERLAP_MIN_BLOCKS
+        n = int(rng.integers(lo, 3 * lo)) * nspb - int(rng.integers(0, nspb))
+        pcm = rng.integers(-32768, 32768, (nch, n)).astype(np.int32)
+        assert encode(pcm, cfg, engine="pallas") == native.encode(pcm, cfg)
